@@ -1,0 +1,88 @@
+"""Fixed-iteration Levenberg-Marquardt for small pose problems [KERNEL].
+
+This is the TPU-native replacement for the reference's per-scan Ceres solves
+(ceres_scan_matcher_2d.cc / ceres_scan_matcher_3d.cc): the parameter space is
+tiny (3 for SE(2), 6 for SE(3) tangent), residual counts are a few hundred,
+so each iteration is one Jacobian (via jax.jacfwd through the interpolated
+grid), one small normal-equation solve, and a gated update — fully unrolled
+under jit with static iteration count, no host round-trips.
+
+Supports manifold optimization through a `retract` function (boxplus), which
+replaces Ceres' local parameterizations (e.g. quaternion tangent updates).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def lm_solve(
+    residual_fn: Callable,
+    x0,
+    retract_fn: Callable = None,
+    tangent_dim: int = None,
+    num_iterations: int = 20,
+    init_lambda: float = 1e-4,
+    lambda_up: float = 4.0,
+    lambda_down: float = 0.5,
+    min_diagonal: float = 1e-6,
+):
+    """Minimize 0.5 * ||residual_fn(x)||^2 with LM, fixed iteration count.
+
+    Args:
+      residual_fn: x -> residuals (R,). Must be jacfwd-differentiable.
+      x0: initial parameters. A flat (P,) vector, or any pytree when
+        `retract_fn` is given.
+      retract_fn: (x, delta (tangent_dim,)) -> x. Defaults to x + delta.
+      tangent_dim: dimension of the tangent space (defaults to len(x0)).
+      num_iterations: static LM iteration count (Ceres max_num_iterations).
+
+    Returns:
+      (x, final_cost, summary) where summary has the initial cost and the
+      accepted-step count.
+    """
+    if retract_fn is None:
+        retract_fn = lambda x, d: x + d
+        if tangent_dim is None:
+            tangent_dim = x0.shape[-1]
+    elif tangent_dim is None:
+        raise ValueError("tangent_dim required with a custom retract_fn")
+
+    def cost(x):
+        r = residual_fn(x)
+        return 0.5 * jnp.sum(r * r)
+
+    def local_residual(delta, x):
+        return residual_fn(retract_fn(x, delta))
+
+    zero = jnp.zeros((tangent_dim,), jnp.float32)
+
+    def step(carry, _):
+        x, lam, current_cost = carry
+        r = residual_fn(x)
+        J = jax.jacfwd(local_residual)(zero, x)  # (R, P)
+        H = J.T @ J
+        g = J.T @ r
+        damped = H + lam * jnp.diag(jnp.maximum(jnp.diag(H), min_diagonal))
+        delta = -jnp.linalg.solve(damped, g)
+        x_new = retract_fn(x, delta)
+        new_cost = cost(x_new)
+        accept = (new_cost < current_cost) & jnp.all(jnp.isfinite(delta))
+        x = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, b, a), x, x_new)
+        lam = jnp.where(accept, lam * lambda_down, lam * lambda_up)
+        current_cost = jnp.where(accept, new_cost, current_cost)
+        return (x, lam, current_cost), accept
+
+    c0 = cost(x0)
+    (x, _, final_cost), accepts = jax.lax.scan(
+        step, (x0, jnp.float32(init_lambda), c0), None, length=num_iterations)
+    summary = {
+        "initial_cost": c0,
+        "final_cost": final_cost,
+        "num_accepted_steps": jnp.sum(accepts.astype(jnp.int32)),
+    }
+    return x, final_cost, summary
