@@ -1,0 +1,123 @@
+"""Real-time correlative scan matching 2D as one batched scoring op [KERNEL].
+
+Reference: mapping/internal/2d/scan_matching/real_time_correlative_scan_matcher_2d.cc
+and the shared search-space helpers correlative_scan_matcher_2d.cc.
+
+TPU design: the reference's triple loop over (theta, dx, dy) candidates with a
+per-point inner loop becomes a single gather of shape
+(num_angles, num_shifts, num_shifts, num_points) reduced on device. The
+angular step is data-dependent in the reference (computed from the scan
+radius); here the candidate tensor has a static worst-case angle count
+(from the configured max range) and out-of-window angles are masked, so one
+compiled program serves every scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from cartographer_tpu.ops.grid_2d import Grid2D
+from cartographer_tpu.ops.probability import UNKNOWN_PROBABILITY
+from cartographer_tpu.transform.rigid import Rigid2
+
+
+@dataclasses.dataclass(frozen=True)
+class CorrelativeSearchParams:
+    """Static search-space geometry (shapes baked into the compiled program)."""
+
+    linear_search_window: float = 0.1  # meters
+    angular_search_window: float = math.radians(20.0)
+    translation_delta_cost_weight: float = 1e-1
+    rotation_delta_cost_weight: float = 1e-1
+    max_num_angles: int = 0  # static; 0 = derive from max_scan_range below
+    max_scan_range: float = 30.0  # used to bound the angular step statically
+
+    def num_linear(self, resolution: float) -> int:
+        return int(math.ceil(self.linear_search_window / resolution))
+
+    def static_num_angles(self, resolution: float) -> int:
+        if self.max_num_angles:
+            return self.max_num_angles
+        # Worst-case (finest) angular step from the configured max range:
+        # correlative_scan_matcher_2d.cc:40-44.
+        step = (1.0 - 1e-3) * math.acos(
+            1.0 - resolution**2 / (2.0 * self.max_scan_range**2))
+        n = int(math.ceil(self.angular_search_window / step))
+        return 2 * n + 1
+
+
+def _angular_step(points: jnp.ndarray, mask: jnp.ndarray, resolution: float) -> jnp.ndarray:
+    """Data-dependent angular step (SearchParameters ctor,
+    correlative_scan_matcher_2d.cc:31-42)."""
+    ranges = jnp.linalg.norm(points, axis=-1)
+    max_range = jnp.maximum(jnp.max(jnp.where(mask, ranges, 0.0)), 3.0 * resolution)
+    return (1.0 - 1e-3) * jnp.arccos(1.0 - resolution**2 / (2.0 * max_range**2))
+
+
+def real_time_correlative_match(
+    grid: Grid2D,
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    initial_pose: Rigid2,
+    params: CorrelativeSearchParams,
+) -> Tuple[jnp.ndarray, Rigid2]:
+    """Exhaustive (theta, x, y) window search around `initial_pose`.
+
+    Args:
+      grid: submap grid; `points` (N, 2) are in the scan frame, `mask` (N,).
+      initial_pose: scan pose estimate in the grid (submap) frame.
+
+    Returns:
+      (best_score, best_pose) — score is the mean hit probability of the best
+      candidate, weighted by the exp(-(d*tw + |dtheta|*rw)^2) odometry prior
+      (real_time_correlative_scan_matcher_2d.cc:170-175).
+    """
+    res = grid.resolution
+    num_angles = params.static_num_angles(res)
+    nl = params.num_linear(res)
+    prob = grid.probability()
+
+    step = _angular_step(points, mask, res)
+    half = (num_angles - 1) // 2
+    deltas = (jnp.arange(num_angles, dtype=jnp.float32) - half) * step
+    # Mask angles beyond the configured window (static shape, dynamic step).
+    angle_valid = jnp.abs(deltas) <= params.angular_search_window + 1e-6
+
+    # Rotate the scan by initial rotation + delta, translate by initial t.
+    rots = Rigid2(jnp.zeros((num_angles, 2)), initial_pose.rotation[None] + deltas)
+    rotated = rots.apply(points[None, :, :])  # (A, N, 2)
+    world = rotated + initial_pose.translation[None, None, :]
+    base_cells = grid.world_to_cell(world)  # (A, N, 2)
+
+    shifts = jnp.arange(-nl, nl + 1)
+    sx = base_cells[:, None, None, :, 0] + shifts[None, :, None, None]
+    sy = base_cells[:, None, None, :, 1] + shifts[None, None, :, None]
+    in_bounds = (sx >= 0) & (sx < grid.size) & (sy >= 0) & (sy < grid.size)
+    p = jnp.where(
+        in_bounds,
+        prob[jnp.clip(sx, 0, grid.size - 1), jnp.clip(sy, 0, grid.size - 1)],
+        UNKNOWN_PROBABILITY,
+    )  # (A, X, Y, N)
+    num_valid = jnp.maximum(jnp.sum(mask), 1)
+    raw = jnp.sum(jnp.where(mask[None, None, None, :], p, 0.0), axis=-1) / num_valid
+
+    # Motion penalty relative to the initial estimate.
+    dxy = jnp.abs(shifts.astype(jnp.float32)) * res
+    dist = jnp.sqrt(dxy[None, :, None] ** 2 + dxy[None, None, :] ** 2)
+    penalty = jnp.exp(
+        -((dist * params.translation_delta_cost_weight
+           + jnp.abs(deltas)[:, None, None] * params.rotation_delta_cost_weight) ** 2))
+    scores = jnp.where(angle_valid[:, None, None], raw * penalty, -jnp.inf)
+
+    flat = jnp.argmax(scores)
+    a, ix, iy = jnp.unravel_index(flat, scores.shape)
+    best_pose = Rigid2(
+        initial_pose.translation
+        + jnp.stack([shifts[ix].astype(jnp.float32), shifts[iy].astype(jnp.float32)]) * res,
+        initial_pose.rotation + deltas[a],
+    )
+    return scores[a, ix, iy], best_pose

@@ -1,0 +1,89 @@
+"""Gauss-Newton 2D scan refinement — the CeresScanMatcher2D replacement [KERNEL].
+
+Reference: mapping/internal/2d/scan_matching/ceres_scan_matcher_2d.cc with the
+bicubic occupied-space residual of occupied_space_cost_function_2d.cc (the
+kPadding border trick there corresponds to our interpolator's flat border
+clamp) plus translation/rotation delta penalties.
+
+TPU design: instead of Ceres' autodiff + sparse solver, the residual vector
+(one occupied-space term per padded point + 3 penalty terms) is differentiated
+with jax.jacfwd through the bicubic interpolation and minimized with a
+fixed-iteration Levenberg-Marquardt on the 3-vector (x, y, theta) — fully
+on-device, batchable over scans with vmap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from cartographer_tpu.ops.gauss_newton import lm_solve
+from cartographer_tpu.ops.grid_2d import Grid2D
+from cartographer_tpu.ops.interp import interp_bicubic
+from cartographer_tpu.transform.rigid import Rigid2
+
+
+@dataclasses.dataclass(frozen=True)
+class GaussNewtonMatcherParams2D:
+    occupied_space_weight: float = 1.0
+    translation_weight: float = 10.0
+    rotation_weight: float = 40.0
+    num_iterations: int = 20  # ceres_solver_options.max_num_iterations
+
+
+def occupied_space_residuals(
+    grid_prob: jnp.ndarray,
+    grid: Grid2D,
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    pose_vec: jnp.ndarray,
+    weight: float,
+) -> jnp.ndarray:
+    """Per-point residual w * (1 - P(T(p))) with bicubic P; invalid -> 0.
+
+    Matches OccupiedSpaceCostFunction2D (occupied_space_cost_function_2d.cc):
+    each residual scaled by occupied_space_weight / sqrt(num_points).
+    """
+    pose = Rigid2.from_vector(pose_vec)
+    world = pose.apply(points)
+    coords = grid.world_to_cell_continuous(world)
+    p = interp_bicubic(grid_prob, coords)
+    n = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+    scale = weight / jnp.sqrt(n)
+    return jnp.where(mask, scale * (1.0 - p), 0.0)
+
+
+def gauss_newton_match_2d(
+    grid: Grid2D,
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    initial_pose: Rigid2,
+    params: GaussNewtonMatcherParams2D,
+    target_pose: Rigid2 = None,
+) -> Tuple[Rigid2, jnp.ndarray]:
+    """Refine `initial_pose` of the scan (points in scan frame) on the grid.
+
+    `target_pose` anchors the translation/rotation penalties (the reference
+    passes the pre-correlative extrapolator pose as `target_translation`,
+    ceres_scan_matcher_2d.cc:63-107); defaults to `initial_pose`.
+
+    Returns (refined_pose, final_cost).
+    """
+    if target_pose is None:
+        target_pose = initial_pose
+    grid_prob = grid.probability()
+    target = target_pose.to_vector()
+
+    def residual_fn(pose_vec):
+        occ = occupied_space_residuals(
+            grid_prob, grid, points, mask, pose_vec, params.occupied_space_weight)
+        r_t = params.translation_weight * (pose_vec[0:2] - target[0:2])
+        r_r = params.rotation_weight * (pose_vec[2:3] - target[2:3])
+        return jnp.concatenate([occ, r_t, r_r])
+
+    x0 = initial_pose.to_vector()
+    x, final_cost, _ = lm_solve(
+        residual_fn, x0, num_iterations=params.num_iterations)
+    return Rigid2.from_vector(x), final_cost
