@@ -1,0 +1,276 @@
+"""2D local SLAM frontend [HOST + KERNEL].
+
+Reference: mapping/internal/2d/local_trajectory_builder_2d.cc. The host class
+owns the sequential state (pose extrapolator, motion filter, submap window,
+sensor collation) and drives three fused device programs per scan:
+
+  1. preprocess_scan_2d  — unwarp + gate + gravity-align + voxel filter
+  2. match               — adaptive filter + (optional) correlative + LM refine
+  3. insert              — raycast insertion into both active submaps (vmapped)
+
+Known deviation from the reference: per-point unwarp poses are interpolated
+on device between the scan-start and scan-end extrapolator poses instead of
+calling ExtrapolatePose per point on the host — identical under the
+extrapolator's constant-velocity model, and removes the per-point host loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cartographer_tpu.core.config import TrajectoryBuilder2DOptions
+from cartographer_tpu.core.time import Time, from_seconds
+from cartographer_tpu.mapping.motion_filter import MotionFilter
+from cartographer_tpu.mapping.pose_extrapolator import PoseExtrapolator
+from cartographer_tpu.mapping.range_data_collator import RangeDataCollator
+from cartographer_tpu.mapping.submap_2d import ActiveSubmaps2D, Submap2D
+from cartographer_tpu.ops.correlative_2d import (
+    CorrelativeSearchParams,
+    real_time_correlative_match,
+)
+from cartographer_tpu.ops.grid_2d import Grid2D
+from cartographer_tpu.ops.scan_matcher_2d import (
+    GaussNewtonMatcherParams2D,
+    gauss_newton_match_2d,
+)
+from cartographer_tpu.ops.scan_pipeline_2d import (
+    ScanPreprocessParams2D,
+    preprocess_scan_2d,
+)
+from cartographer_tpu.sensor.data import ImuData, OdometryData, TimedPointCloudData
+from cartographer_tpu.sensor.point_cloud import PointCloud, RangeData
+from cartographer_tpu.sensor.voxel_filter import adaptive_voxel_filter
+from cartographer_tpu.transform import nquat
+from cartographer_tpu.transform.rigid import Rigid2, Rigid3
+
+
+@dataclasses.dataclass
+class InsertionResult:
+    """Node data + the submaps it was inserted into (trajectory_builder_interface.h)."""
+
+    time: Time
+    gravity_alignment: np.ndarray  # (4,) quaternion
+    filtered_gravity_aligned_point_cloud: PointCloud  # for loop closure
+    local_pose_translation: np.ndarray  # (3,) node pose in local frame
+    local_pose_rotation: np.ndarray  # (4,)
+    insertion_submaps: List[Submap2D]
+    finished_submaps: List[Submap2D]
+
+
+@dataclasses.dataclass
+class MatchingResult:
+    time: Time
+    local_pose_translation: np.ndarray
+    local_pose_rotation: np.ndarray
+    range_data_in_local: RangeData
+    insertion_result: Optional[InsertionResult]
+
+
+class LocalTrajectoryBuilder2D:
+    def __init__(self, options: TrajectoryBuilder2DOptions,
+                 expected_range_sensor_ids: List[str]):
+        self._options = options
+        self._active_submaps = ActiveSubmaps2D(options.submaps, options.tpu)
+        self._motion_filter = MotionFilter(options.motion_filter)
+        self._extrapolator: Optional[PoseExtrapolator] = None
+        self._range_data_collator = RangeDataCollator(expected_range_sensor_ids)
+        self._seed_counter = 0
+
+        pre_params = ScanPreprocessParams2D(
+            min_range=options.min_range, max_range=options.max_range,
+            min_z=options.min_z, max_z=options.max_z,
+            missing_data_ray_length=options.missing_data_ray_length,
+            voxel_filter_size=options.voxel_filter_size)
+        self._preprocess_fn = jax.jit(partial(preprocess_scan_2d, params=pre_params))
+
+        avf = options.adaptive_voxel_filter
+        corr = options.real_time_correlative_scan_matcher
+        corr_params = CorrelativeSearchParams(
+            linear_search_window=corr.linear_search_window,
+            angular_search_window=corr.angular_search_window,
+            translation_delta_cost_weight=corr.translation_delta_cost_weight,
+            rotation_delta_cost_weight=corr.rotation_delta_cost_weight,
+            max_scan_range=options.max_range)
+        gn = options.ceres_scan_matcher
+        gn_params = GaussNewtonMatcherParams2D(
+            occupied_space_weight=gn.occupied_space_weight,
+            translation_weight=gn.translation_weight,
+            rotation_weight=gn.rotation_weight,
+            num_iterations=gn.max_num_iterations)
+        use_correlative = options.use_online_correlative_scan_matching
+
+        def match(grid: Grid2D, returns: PointCloud, pose_prediction_vec, seed):
+            filtered = adaptive_voxel_filter(
+                returns, avf.max_length, avf.min_num_points, avf.max_range, seed)
+            prediction = Rigid2.from_vector(pose_prediction_vec)
+            initial = prediction
+            if use_correlative:
+                _, initial = real_time_correlative_match(
+                    grid, filtered.points, filtered.mask, prediction, corr_params)
+            pose, cost = gauss_newton_match_2d(
+                grid, filtered.points, filtered.mask, initial, gn_params,
+                target_translation=prediction.translation)
+            return pose.to_vector(), cost, filtered
+
+        self._match_fn = jax.jit(match)
+        self._transform_rd_fn = jax.jit(
+            lambda rd, pose_vec: rd.transform(Rigid2.from_vector(pose_vec)))
+
+    # ------------------------------------------------------------------ sensors
+
+    def add_imu_data(self, imu_data: ImuData) -> None:
+        if not self._options.use_imu_data:
+            return
+        if self._extrapolator is None:
+            cv = self._options.pose_extrapolator.constant_velocity
+            self._extrapolator = PoseExtrapolator.initialize_with_imu(
+                from_seconds(cv.pose_queue_duration),
+                cv.imu_gravity_time_constant, imu_data)
+        else:
+            self._extrapolator.add_imu_data(imu_data)
+
+    def add_odometry_data(self, odometry_data: OdometryData) -> None:
+        if self._extrapolator is None:
+            return  # until we've initialized the extrapolator we cannot add odometry
+        self._extrapolator.add_odometry_data(odometry_data)
+
+    # ------------------------------------------------------------------ scans
+
+    def add_range_data(self, sensor_id: str, data: TimedPointCloudData
+                       ) -> Optional[MatchingResult]:
+        result = None
+        for batch in self._range_data_collator.add_range_data(sensor_id, data):
+            r = self._process_scan(batch)
+            if r is not None:
+                result = r
+        return result
+
+    def _initialize_extrapolator(self, time: Time) -> None:
+        if self._extrapolator is not None:
+            return
+        cv = self._options.pose_extrapolator.constant_velocity
+        self._extrapolator = PoseExtrapolator(
+            from_seconds(cv.pose_queue_duration), cv.imu_gravity_time_constant)
+        self._extrapolator.add_pose(time, np.zeros(3), nquat.IDENTITY.copy())
+
+    def _next_seed(self):
+        self._seed_counter += 1
+        return jax.random.PRNGKey(self._seed_counter)
+
+    def _process_scan(self, data: TimedPointCloudData) -> Optional[MatchingResult]:
+        if self._options.use_imu_data and self._extrapolator is None:
+            return None  # waiting for the first IMU message
+        self._initialize_extrapolator(data.time)
+
+        last_pose_time = self._extrapolator.get_last_pose_time()
+        if data.time < last_pose_time:
+            return None  # cannot extrapolate backwards
+        n = data.ranges.shape[0]
+        if n == 0:
+            return None
+        time_first = data.time + from_seconds(float(data.times.min()))
+        t0 = max(time_first, last_pose_time)
+        t1 = data.time
+
+        pose_start = self._extrapolator.extrapolate_pose(t0)
+        pose_end = self._extrapolator.extrapolate_pose(t1)
+        gravity_q = self._extrapolator.estimate_gravity_orientation(t1)
+
+        capacity = self._options.tpu.scan_capacity
+        abs_times = data.time + (data.times * 1e6).astype(np.int64)
+        denom = max(t1 - t0, 1)
+        times01 = np.clip((abs_times - t0) / denom, 0.0, 1.0).astype(np.float32)
+
+        points = np.zeros((capacity, 3), np.float32)
+        npts = min(n, capacity)
+        points[:npts] = data.ranges[:npts, :3] if data.ranges.shape[1] >= 3 else np.pad(
+            data.ranges[:npts], ((0, 0), (0, 3 - data.ranges.shape[1])))
+        t01 = np.zeros(capacity, np.float32)
+        t01[:npts] = times01[:npts]
+        mask = np.zeros(capacity, bool)
+        mask[:npts] = True
+        origin = np.zeros(3, np.float32)
+        origin[: data.origin.shape[0]] = data.origin
+
+        rd_aligned, _ = self._preprocess_fn(
+            jnp.asarray(points), jnp.asarray(t01), jnp.asarray(mask),
+            jnp.asarray(origin),
+            Rigid3(jnp.asarray(pose_start[0], jnp.float32), jnp.asarray(pose_start[1], jnp.float32)),
+            Rigid3(jnp.asarray(pose_end[0], jnp.float32), jnp.asarray(pose_end[1], jnp.float32)),
+            jnp.asarray(gravity_q, jnp.float32),
+            seed=self._next_seed())
+
+        # Scan matching against the matching (oldest active) submap.
+        pred_t, pred_q = pose_end
+        gravity = Rigid3(jnp.asarray(pred_t * 0, jnp.float32), jnp.asarray(gravity_q, jnp.float32))
+        pred = Rigid3(jnp.asarray(pred_t, jnp.float32), jnp.asarray(pred_q, jnp.float32))
+        pred_2d_rigid = _project_2d_host(pred_t, pred_q, gravity_q)
+
+        matching_grid = self._active_submaps.matching_grid
+        if matching_grid is None:
+            pose_2d = pred_2d_rigid
+            filtered = rd_aligned.returns
+        else:
+            pose_vec, cost, filtered = self._match_fn(
+                matching_grid, rd_aligned.returns,
+                jnp.asarray(pose_2d_to_vec(pred_2d_rigid), jnp.float32),
+                self._next_seed())
+            pose_2d = np.asarray(pose_vec, np.float64)
+            if not np.all(np.isfinite(pose_2d)):
+                return None
+
+        # pose_estimate = Embed3D(pose_2d) * gravity_alignment
+        # (local_trajectory_builder_2d.cc:93-99).
+        est_t, est_q = _embed_3d_host(pose_2d, gravity_q)
+        self._extrapolator.add_pose(data.time, est_t, est_q)
+
+        rd_local = self._transform_rd_fn(rd_aligned, jnp.asarray(pose_2d, jnp.float32))
+
+        insertion_result = None
+        if not self._motion_filter.is_similar(data.time, est_t, est_q):
+            origin_xy = np.asarray(rd_local.origin)
+            finished = self._active_submaps.insert_range_data(rd_local, origin_xy)
+            insertion_result = InsertionResult(
+                time=data.time,
+                gravity_alignment=gravity_q,
+                filtered_gravity_aligned_point_cloud=(
+                    filtered if matching_grid is not None else rd_aligned.returns),
+                local_pose_translation=est_t,
+                local_pose_rotation=est_q,
+                insertion_submaps=list(self._active_submaps.submaps),
+                finished_submaps=finished,
+            )
+        return MatchingResult(
+            time=data.time,
+            local_pose_translation=est_t,
+            local_pose_rotation=est_q,
+            range_data_in_local=rd_local,
+            insertion_result=insertion_result,
+        )
+
+    def finish(self) -> List[Submap2D]:
+        return self._active_submaps.finish_all()
+
+
+def pose_2d_to_vec(pose) -> np.ndarray:
+    return np.asarray(pose, np.float64)
+
+
+def _project_2d_host(translation, rotation_q, gravity_q) -> np.ndarray:
+    """Project2D(pose * gravity_alignment^-1) -> [x, y, theta] (numpy)."""
+    q = nquat.multiply(rotation_q, nquat.conjugate(gravity_q))
+    return np.array([translation[0], translation[1], nquat.get_yaw(q)])
+
+
+def _embed_3d_host(pose_vec: np.ndarray, gravity_q: np.ndarray):
+    """Embed3D([x,y,theta]) * gravity_alignment -> (t (3,), q (4,))."""
+    yaw_q = nquat.from_yaw(pose_vec[2])
+    q = nquat.multiply(yaw_q, gravity_q)
+    t = np.array([pose_vec[0], pose_vec[1], 0.0])
+    return t, nquat.normalize(q)

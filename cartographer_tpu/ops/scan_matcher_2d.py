@@ -61,26 +61,29 @@ def gauss_newton_match_2d(
     mask: jnp.ndarray,
     initial_pose: Rigid2,
     params: GaussNewtonMatcherParams2D,
-    target_pose: Rigid2 = None,
+    target_translation: jnp.ndarray = None,
 ) -> Tuple[Rigid2, jnp.ndarray]:
     """Refine `initial_pose` of the scan (points in scan frame) on the grid.
 
-    `target_pose` anchors the translation/rotation penalties (the reference
-    passes the pre-correlative extrapolator pose as `target_translation`,
-    ceres_scan_matcher_2d.cc:63-107); defaults to `initial_pose`.
+    Anchoring matches ceres_scan_matcher_2d.cc:63-107 exactly: the
+    translation penalty pulls toward `target_translation` (the extrapolator
+    prediction), while the rotation penalty is anchored at
+    `initial_pose.rotation` (the post-correlative estimate) — anchoring
+    rotation to the prediction instead silently erases any rotation the
+    correlative matcher found.
 
     Returns (refined_pose, final_cost).
     """
-    if target_pose is None:
-        target_pose = initial_pose
+    if target_translation is None:
+        target_translation = initial_pose.translation
     grid_prob = grid.probability()
-    target = target_pose.to_vector()
+    target_rotation = initial_pose.rotation
 
     def residual_fn(pose_vec):
         occ = occupied_space_residuals(
             grid_prob, grid, points, mask, pose_vec, params.occupied_space_weight)
-        r_t = params.translation_weight * (pose_vec[0:2] - target[0:2])
-        r_r = params.rotation_weight * (pose_vec[2:3] - target[2:3])
+        r_t = params.translation_weight * (pose_vec[0:2] - target_translation)
+        r_r = params.rotation_weight * (pose_vec[2:3] - target_rotation[None])
         return jnp.concatenate([occ, r_t, r_r])
 
     x0 = initial_pose.to_vector()
