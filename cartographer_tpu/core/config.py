@@ -230,6 +230,10 @@ class FastCorrelativeScanMatcherOptions2D:
     linear_search_window: float = 7.0
     angular_search_window: float = math.radians(30.0)
     branch_and_bound_depth: int = 7
+    # TPU statics: worst-case scan radius bounding the angular candidate
+    # count, and the beam width of the level-synchronous search.
+    max_scan_range: float = 30.0
+    beam_width: int = 4096
 
 
 @dataclasses.dataclass(frozen=True)

@@ -52,14 +52,15 @@ class Constraint:
 
 
 class ConstraintBuilder2D:
-    def __init__(self, options: ConstraintBuilderOptions, max_scan_range: float = 30.0):
+    def __init__(self, options: ConstraintBuilderOptions):
         self._options = options
         fcsm = options.fast_correlative_scan_matcher
         self._bnb_params = FastCorrelativeMatcherParams2D(
             linear_search_window=fcsm.linear_search_window,
             angular_search_window=fcsm.angular_search_window,
             branch_and_bound_depth=fcsm.branch_and_bound_depth,
-            max_scan_range=max_scan_range)
+            beam_width=fcsm.beam_width,
+            max_scan_range=fcsm.max_scan_range)
         gn = options.ceres_scan_matcher
         self._gn_params = GaussNewtonMatcherParams2D(
             occupied_space_weight=gn.occupied_space_weight,

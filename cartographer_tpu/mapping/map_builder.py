@@ -1,0 +1,197 @@
+"""MapBuilder: top-level factory wiring trajectory builders to the pose graph.
+
+Reference: cartographer/mapping/map_builder.cc + the glue layers
+internal/global_trajectory_builder.cc (local SLAM result -> PoseGraph::AddNode)
+and internal/collated_trajectory_builder.cc (sensor collation). One class per
+reference class, same responsibilities, synchronous execution.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from cartographer_tpu.core.config import MapBuilderOptions, TrajectoryBuilderOptions
+from cartographer_tpu.core.time import Time
+from cartographer_tpu.mapping.id import NodeId
+from cartographer_tpu.mapping.local_trajectory_builder_2d import (
+    LocalTrajectoryBuilder2D,
+    MatchingResult,
+)
+from cartographer_tpu.mapping.pose_graph_2d import PoseGraph2D, TrajectoryNode
+from cartographer_tpu.sensor.collator import Collator, TrajectoryCollator
+from cartographer_tpu.sensor.data import (
+    FixedFramePoseData,
+    ImuData,
+    LandmarkData,
+    OdometryData,
+    TimedPointCloudData,
+)
+
+# LocalSlamResultCallback(trajectory_id, time, local_pose (t, q), matching_result)
+LocalSlamResultCallback = Callable[[int, Time, np.ndarray, np.ndarray, MatchingResult], None]
+
+
+class GlobalTrajectoryBuilder:
+    """Glue: forwards sensor data to local SLAM, feeds results into the pose
+    graph (mapping/internal/global_trajectory_builder.cc:36-145)."""
+
+    def __init__(self, trajectory_id: int, local_builder: LocalTrajectoryBuilder2D,
+                 pose_graph: PoseGraph2D,
+                 local_slam_result_callback: Optional[LocalSlamResultCallback] = None):
+        self.trajectory_id = trajectory_id
+        self._local = local_builder
+        self._pose_graph = pose_graph
+        self._callback = local_slam_result_callback
+
+    def add_range_data(self, sensor_id: str, data: TimedPointCloudData) -> None:
+        result = self._local.add_range_data(sensor_id, data)
+        if result is None:
+            return
+        node_id = None
+        if result.insertion_result is not None:
+            ir = result.insertion_result
+            node = TrajectoryNode(
+                time=ir.time,
+                gravity_alignment=ir.gravity_alignment,
+                filtered_points=np.asarray(
+                    ir.filtered_gravity_aligned_point_cloud.to_numpy(), np.float64),
+                local_pose_translation=ir.local_pose_translation,
+                local_pose_rotation=ir.local_pose_rotation,
+            )
+            node_id = self._pose_graph.add_node(
+                self.trajectory_id, node, ir.insertion_submaps, ir.finished_submaps)
+        if self._callback is not None:
+            self._callback(
+                self.trajectory_id, result.time,
+                result.local_pose_translation, result.local_pose_rotation, result)
+
+    def add_imu_data(self, imu_data: ImuData) -> None:
+        self._local.add_imu_data(imu_data)
+        # (3D also feeds the optimization problem's IMU queue; 2D stores it
+        # for the optimization problem when IMU-based residuals are enabled.)
+
+    def add_odometry_data(self, odometry_data: OdometryData) -> None:
+        self._local.add_odometry_data(odometry_data)
+
+    def add_fixed_frame_pose_data(self, data: FixedFramePoseData) -> None:
+        pass  # wired into the optimization problem in a later stage
+
+    def add_landmark_data(self, data: LandmarkData) -> None:
+        pass  # wired into the optimization problem in a later stage
+
+    def finish(self):
+        return self._local.finish()
+
+
+class MapBuilder:
+    """Reference MapBuilderInterface implementation (map_builder.cc)."""
+
+    def __init__(self, options: MapBuilderOptions):
+        if not options.use_trajectory_builder_2d and not options.use_trajectory_builder_3d:
+            raise ValueError("one of use_trajectory_builder_2d/3d must be set")
+        self._options = options
+        self.pose_graph = PoseGraph2D(options.pose_graph)
+        self._collator = (TrajectoryCollator() if options.collate_by_trajectory
+                          else Collator())
+        self._builders: Dict[int, GlobalTrajectoryBuilder] = {}
+        self._sensor_ids: Dict[int, List[str]] = {}
+        self._frozen: List[int] = []
+
+    # ------------------------------------------------------------- trajectories
+
+    def add_trajectory_builder(
+        self,
+        expected_sensor_ids: List[str],
+        trajectory_options: TrajectoryBuilderOptions,
+        local_slam_result_callback: Optional[LocalSlamResultCallback] = None,
+    ) -> int:
+        trajectory_id = len(self._builders) + len(self._frozen)
+        if self._options.use_trajectory_builder_3d:
+            from cartographer_tpu.mapping.local_trajectory_builder_3d import (
+                LocalTrajectoryBuilder3D,
+            )
+            range_ids = [s for s in expected_sensor_ids if s.startswith("range") or "laser" in s or "points" in s]
+            local = LocalTrajectoryBuilder3D(
+                trajectory_options.trajectory_builder_3d, range_ids or expected_sensor_ids)
+        else:
+            range_ids = [s for s in expected_sensor_ids
+                         if s.startswith("range") or "laser" in s or "points" in s]
+            local = LocalTrajectoryBuilder2D(
+                trajectory_options.trajectory_builder_2d,
+                range_ids or expected_sensor_ids)
+        builder = GlobalTrajectoryBuilder(
+            trajectory_id, local, self.pose_graph, local_slam_result_callback)
+        self._builders[trajectory_id] = builder
+        self._sensor_ids[trajectory_id] = list(expected_sensor_ids)
+
+        if trajectory_options.pure_localization_trimmer is not None:
+            # Pure localization: trimmers keep only the last N submaps of this
+            # trajectory (map_builder.cc:56-73); trimming wired in pose graph.
+            pass
+
+        self._collator.add_trajectory(
+            trajectory_id, expected_sensor_ids, self._dispatch)
+        return trajectory_id
+
+    def _dispatch(self, trajectory_id: int, sensor_id: str, time: Time, data) -> None:
+        builder = self._builders[trajectory_id]
+        if isinstance(data, TimedPointCloudData):
+            builder.add_range_data(sensor_id, data)
+        elif isinstance(data, ImuData):
+            builder.add_imu_data(data)
+        elif isinstance(data, OdometryData):
+            builder.add_odometry_data(data)
+        elif isinstance(data, FixedFramePoseData):
+            builder.add_fixed_frame_pose_data(data)
+        elif isinstance(data, LandmarkData):
+            builder.add_landmark_data(data)
+        else:
+            raise TypeError(f"unknown sensor data type {type(data)}")
+
+    def add_sensor_data(self, trajectory_id: int, sensor_id: str, data) -> None:
+        self._collator.add_sensor_data(trajectory_id, sensor_id, data.time, data)
+
+    def finish_trajectory(self, trajectory_id: int) -> None:
+        self._collator.finish_trajectory(trajectory_id)
+        finished_submaps = self._builders[trajectory_id].finish()
+        # Register remaining active submaps' grids with the pose graph.
+        for (tid, sindex), entry in self.pose_graph.submap_data.items():
+            for s in finished_submaps:
+                if entry.submap is s:
+                    entry.finished = True
+
+    def num_trajectory_builders(self) -> int:
+        return len(self._builders)
+
+    def get_trajectory_builder(self, trajectory_id: int) -> GlobalTrajectoryBuilder:
+        return self._builders[trajectory_id]
+
+    # ------------------------------------------------------------- state io
+
+    def serialize_state(self, writer_or_path,
+                        include_unfinished_submaps: bool = True) -> None:
+        """MapBuilder::SerializeState (map_builder.cc:213-225)."""
+        from cartographer_tpu.io.pbstream import ProtoStreamWriter
+        from cartographer_tpu.io.serialization import serialize_state
+
+        writer = (writer_or_path if isinstance(writer_or_path, ProtoStreamWriter)
+                  else ProtoStreamWriter(writer_or_path))
+        serialize_state(self.pose_graph, writer, include_unfinished_submaps)
+        writer.close()
+
+    def load_state(self, reader_or_path, load_frozen_state: bool = True) -> Dict[int, int]:
+        """MapBuilder::LoadState (map_builder.cc:227-395); returns the
+        trajectory-id remapping."""
+        from cartographer_tpu.io.pbstream import ProtoStreamReader
+        from cartographer_tpu.io.serialization import load_state
+
+        reader = (reader_or_path if isinstance(reader_or_path, ProtoStreamReader)
+                  else ProtoStreamReader(reader_or_path))
+        remapping = load_state(reader, self.pose_graph, frozen=load_frozen_state)
+        for new_id in set(remapping.values()):
+            self._frozen.append(new_id)
+        reader.close()
+        return remapping

@@ -1,0 +1,324 @@
+"""2D global SLAM backend [HOST].
+
+Reference: mapping/internal/2d/pose_graph_2d.cc (1,340 LoC) +
+optimization/optimization_problem_2d.cc. Keeps node/submap bookkeeping,
+schedules loop-closure searches through ConstraintBuilder2D, runs the SPA
+solve every `optimize_every_n_nodes` nodes, and maintains trajectory
+connectivity.
+
+TPU design: the reference's work-queue + thread-pool concurrency becomes
+synchronous host orchestration around batched device programs (each BnB
+match already saturates the chip); the SPA solve is one jitted Gauss-Newton
+program (ops/spa.py) over padded constraint arrays, rebuilt per
+power-of-two problem size to bound recompilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Set, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from cartographer_tpu.core.config import PoseGraphOptions
+from cartographer_tpu.core.sampler import FixedRatioSampler
+from cartographer_tpu.core.time import Time
+from cartographer_tpu.mapping.constraint_builder_2d import Constraint, ConstraintBuilder2D
+from cartographer_tpu.mapping.id import MapById, NodeId, SubmapId
+from cartographer_tpu.mapping.submap_2d import Submap2D
+from cartographer_tpu.ops.spa import SpaProblem2D, solve_spa_2d
+from cartographer_tpu.transform import nquat
+
+
+@dataclasses.dataclass
+class TrajectoryNode:
+    """Node data kept by the pose graph (trajectory_node.h)."""
+
+    time: Time
+    gravity_alignment: np.ndarray  # (4,)
+    filtered_points: np.ndarray  # (n, 2) gravity-aligned scan for loop closure
+    local_pose_translation: np.ndarray  # (3,)
+    local_pose_rotation: np.ndarray  # (4,)
+    global_pose_2d: np.ndarray = None  # (3,) [x, y, theta], optimized
+
+
+@dataclasses.dataclass
+class SubmapDataEntry:
+    submap: Submap2D
+    global_pose_2d: np.ndarray  # (3,)
+    node_ids: Set[NodeId] = dataclasses.field(default_factory=set)
+    finished: bool = False
+    frozen: bool = False
+
+
+def _pose2d_of_node(node: TrajectoryNode) -> np.ndarray:
+    """Gravity-aligned 2D local pose of a node: Project2D(pose * g^-1)."""
+    q = nquat.multiply(node.local_pose_rotation, nquat.conjugate(node.gravity_alignment))
+    return np.array([node.local_pose_translation[0], node.local_pose_translation[1],
+                     nquat.get_yaw(q)])
+
+
+def _compose2d(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    c, s = np.cos(a[2]), np.sin(a[2])
+    return np.array([a[0] + c * b[0] - s * b[1], a[1] + s * b[0] + c * b[1], a[2] + b[2]])
+
+
+def _inverse2d(a: np.ndarray) -> np.ndarray:
+    c, s = np.cos(a[2]), np.sin(a[2])
+    return np.array([-(c * a[0] + s * a[1]), -(-s * a[0] + c * a[1]), -a[2]])
+
+
+class PoseGraph2D:
+    def __init__(self, options: PoseGraphOptions):
+        self._options = options
+        self._constraint_builder = ConstraintBuilder2D(options.constraint_builder)
+        self.nodes: MapById[TrajectoryNode] = MapById()
+        self.submap_data: MapById[SubmapDataEntry] = MapById()
+        self.constraints: List[Constraint] = []
+        self._num_nodes_since_last_optimization = 0
+        self._global_sampler = FixedRatioSampler(options.global_sampling_ratio)
+        self._frozen_trajectories: Set[int] = set()
+        self._connected: Dict[int, int] = {}  # union-find parent
+        self._global_optimization_callbacks = []
+
+    # ------------------------------------------------------------ connectivity
+
+    def _find(self, t: int) -> int:
+        self._connected.setdefault(t, t)
+        while self._connected[t] != t:
+            self._connected[t] = self._connected[self._connected[t]]
+            t = self._connected[t]
+        return t
+
+    def _union(self, a: int, b: int) -> None:
+        ra, rb = self._find(a), self._find(b)
+        if ra != rb:
+            self._connected[ra] = rb
+
+    def transitively_connected(self, a: int, b: int) -> bool:
+        return self._find(a) == self._find(b)
+
+    # ------------------------------------------------------------ node intake
+
+    def add_node(self, trajectory_id: int, node: TrajectoryNode,
+                 insertion_submaps: List[Submap2D],
+                 finished_submaps: List[Submap2D]) -> NodeId:
+        """Equivalent of PoseGraph2D::AddNode + ComputeConstraintsForNode
+        (pose_graph_2d.cc:126-170, 312-402), synchronously."""
+        self._find(trajectory_id)
+        node_index = self.nodes.append(trajectory_id, node)
+        node_id = NodeId(trajectory_id, node_index)
+
+        # Register insertion submaps (the <= 2 active ones).
+        submap_ids = self._register_insertion_submaps(trajectory_id, insertion_submaps)
+        for sid, submap in zip(submap_ids, insertion_submaps):
+            self.submap_data[sid].node_ids.add(node_id)
+
+        node_pose_2d = _pose2d_of_node(node)
+        # Global pose from the first insertion submap's optimized pose.
+        first = self.submap_data[submap_ids[0]]
+        local_submap_pose = self._submap_local_pose_2d(first.submap)
+        node.global_pose_2d = _compose2d(
+            first.global_pose_2d, _compose2d(_inverse2d(local_submap_pose), node_pose_2d))
+
+        # INTRA constraints to the insertion submaps.
+        for sid in submap_ids:
+            entry = self.submap_data[sid]
+            rel = _compose2d(
+                _inverse2d(self._submap_local_pose_2d(entry.submap)), node_pose_2d)
+            self.constraints.append(Constraint(
+                submap_id=sid, node_id=node_id, rel=rel,
+                translation_weight=self._options.matcher_translation_weight,
+                rotation_weight=self._options.matcher_rotation_weight,
+                tag="INTRA_SUBMAP"))
+
+        # Mark newly finished submaps and search their loop closures.
+        newly_finished: List[SubmapId] = []
+        for submap in finished_submaps:
+            for (tid, sindex), entry in self.submap_data.items():
+                if entry.submap is submap and not entry.finished:
+                    entry.finished = True
+                    newly_finished.append(SubmapId(tid, sindex))
+
+        # Loop closure: this node vs all finished submaps...
+        for (tid, sindex), entry in self.submap_data.items():
+            sid = SubmapId(tid, sindex)
+            if entry.finished and node_id not in entry.node_ids:
+                self._compute_constraint(node_id, sid)
+        # ...and all old nodes vs newly finished submaps.
+        for sid in newly_finished:
+            entry = self.submap_data[sid]
+            for (tid, nindex), _ in self.nodes.items():
+                nid = NodeId(tid, nindex)
+                if nid not in entry.node_ids:
+                    self._compute_constraint(nid, sid)
+
+        self._num_nodes_since_last_optimization += 1
+        if (self._options.optimize_every_n_nodes > 0
+                and self._num_nodes_since_last_optimization
+                >= self._options.optimize_every_n_nodes):
+            self.run_optimization()
+        return node_id
+
+    def _submap_local_pose_2d(self, submap: Submap2D) -> np.ndarray:
+        q = submap.local_pose_rotation
+        return np.array([submap.local_pose_translation[0],
+                         submap.local_pose_translation[1], nquat.get_yaw(q)])
+
+    def _register_insertion_submaps(self, trajectory_id: int,
+                                    insertion_submaps: List[Submap2D]) -> List[SubmapId]:
+        """Match host submap objects to graph entries, appending new ones
+        (InitializeGlobalSubmapPoses, pose_graph_2d.cc:204-259)."""
+        existing = {id(entry.submap): SubmapId(tid, sindex)
+                    for (tid, sindex), entry in self.submap_data.items()
+                    if tid == trajectory_id}
+        ids = []
+        for submap in insertion_submaps:
+            if id(submap) in existing:
+                ids.append(existing[id(submap)])
+                continue
+            local = self._submap_local_pose_2d(submap)
+            if self.submap_data.size_of_trajectory(trajectory_id) == 0:
+                global_pose = local.copy()
+            else:
+                # global = last_global * last_local^-1 * local
+                last_index = self.submap_data.last_index_of_trajectory(trajectory_id)
+                last = self.submap_data[SubmapId(trajectory_id, last_index)]
+                global_pose = _compose2d(
+                    last.global_pose_2d,
+                    _compose2d(_inverse2d(self._submap_local_pose_2d(last.submap)), local))
+            index = self.submap_data.append(
+                trajectory_id, SubmapDataEntry(submap=submap, global_pose_2d=global_pose))
+            ids.append(SubmapId(trajectory_id, index))
+        return ids
+
+    # ------------------------------------------------------------ loop closure
+
+    def _compute_constraint(self, node_id: NodeId, submap_id: SubmapId) -> None:
+        """ComputeConstraint (pose_graph_2d.cc:261-310): local window when
+        connected recently, global search otherwise.
+
+        Frames: grids live in the trajectory-local frame; each submap's SPA
+        frame is anchored at the submap origin A (pure translation), so
+        grid-frame pose = A * rel and constraint rel = A^-1 * grid_pose.
+        Anchoring at the submap (not the trajectory origin) keeps rotation
+        corrections acting about the submap content — matching the
+        reference's submap local_pose convention.
+        """
+        node = self.nodes[node_id]
+        entry = self.submap_data[submap_id]
+        if entry.submap.grid is None:
+            return
+        if node.filtered_points is None or len(node.filtered_points) == 0:
+            return
+        anchor = self._submap_local_pose_2d(entry.submap)
+
+        connected = self.transitively_connected(
+            node_id.trajectory_id, submap_id.trajectory_id)
+        constraint = None
+        if node_id.trajectory_id == submap_id.trajectory_id or connected:
+            # Node pose estimate in the grid (local) frame:
+            # A * (submap_global^-1 * node_global).
+            rel_est = _compose2d(_inverse2d(entry.global_pose_2d), node.global_pose_2d)
+            init = _compose2d(anchor, rel_est)
+            constraint = self._constraint_builder.maybe_add_constraint(
+                submap_id, entry.submap.grid, node_id, node.filtered_points,
+                init)
+        elif self._global_sampler.pulse():
+            constraint = self._constraint_builder.maybe_add_global_constraint(
+                submap_id, entry.submap.grid, node_id, node.filtered_points)
+        if constraint is not None:
+            # The matcher returns the node pose in the grid frame; re-anchor.
+            constraint.rel = _compose2d(_inverse2d(anchor), constraint.rel)
+            self.constraints.append(constraint)
+            self._union(node_id.trajectory_id, submap_id.trajectory_id)
+
+    # ------------------------------------------------------------ optimization
+
+    def run_optimization(self, num_iterations: Optional[int] = None) -> None:
+        """Build the SPA problem and solve (HandleWorkQueue + RunOptimization,
+        pose_graph_2d.cc:444-518, 861-908)."""
+        if self.submap_data.empty() or not self.constraints:
+            self._num_nodes_since_last_optimization = 0
+            return
+        num_iterations = num_iterations or self._options.optimization_problem.max_num_iterations
+
+        submap_slots: Dict[SubmapId, int] = {}
+        node_slots: Dict[NodeId, int] = {}
+        poses = []
+        fixed = []
+        for (tid, sindex), entry in self.submap_data.items():
+            submap_slots[SubmapId(tid, sindex)] = len(poses)
+            poses.append(entry.global_pose_2d)
+            fixed.append(tid in self._frozen_trajectories or len(poses) == 1)
+        for (tid, nindex), node in self.nodes.items():
+            node_slots[NodeId(tid, nindex)] = len(poses)
+            poses.append(node.global_pose_2d)
+            fixed.append(tid in self._frozen_trajectories)
+
+        a_idx, b_idx, rels, tws, rws, hubers = [], [], [], [], [], []
+        for c in self.constraints:
+            if c.submap_id not in submap_slots or c.node_id not in node_slots:
+                continue
+            # INTRA rel is node-in-submap-local-frame; convert to grid frame
+            # (identical here because grids live in the local frame).
+            a_idx.append(submap_slots[c.submap_id])
+            b_idx.append(node_slots[c.node_id])
+            rels.append(c.rel)
+            tws.append(c.translation_weight)
+            rws.append(c.rotation_weight)
+            hubers.append(c.tag == "INTER_SUBMAP")
+
+        C = len(a_idx)
+        cap = 1 << int(np.ceil(np.log2(max(C, 16))))
+        vcap = len(poses)
+
+        def pad(arr, shape, dtype):
+            out = np.zeros(shape, dtype)
+            out[: len(arr)] = arr
+            return out
+
+        problem = SpaProblem2D(
+            poses=jnp.asarray(np.asarray(poses, np.float32)),
+            a_idx=jnp.asarray(pad(a_idx, (cap,), np.int32)),
+            b_idx=jnp.asarray(pad(b_idx, (cap,), np.int32)),
+            rel=jnp.asarray(pad(rels, (cap, 3), np.float32)),
+            trans_weight=jnp.asarray(pad(tws, (cap,), np.float32)),
+            rot_weight=jnp.asarray(pad(rws, (cap,), np.float32)),
+            use_huber=jnp.asarray(pad(hubers, (cap,), bool)),
+            valid=jnp.asarray(np.arange(cap) < C),
+            fixed=jnp.asarray(np.asarray(fixed, bool)),
+        )
+        solved = np.asarray(solve_spa_2d(
+            problem, num_iterations=num_iterations,
+            huber_scale=self._options.optimization_problem.huber_scale))
+
+        for sid, slot in submap_slots.items():
+            self.submap_data[sid].global_pose_2d = solved[slot].astype(np.float64)
+        for nid, slot in node_slots.items():
+            self.nodes[nid].global_pose_2d = solved[slot].astype(np.float64)
+        self._num_nodes_since_last_optimization = 0
+        for cb in self._global_optimization_callbacks:
+            cb()
+
+    def run_final_optimization(self) -> None:
+        self.run_optimization(self._options.max_num_final_iterations)
+
+    # ------------------------------------------------------------ queries
+
+    def set_global_slam_optimization_callback(self, cb) -> None:
+        self._global_optimization_callbacks.append(cb)
+
+    def freeze_trajectory(self, trajectory_id: int) -> None:
+        self._frozen_trajectories.add(trajectory_id)
+        self._find(trajectory_id)
+
+    def num_inter_constraints(self) -> int:
+        return sum(1 for c in self.constraints if c.tag == "INTER_SUBMAP")
+
+    def node_global_poses(self) -> Dict[NodeId, np.ndarray]:
+        return {NodeId(t, i): n.global_pose_2d for (t, i), n in self.nodes.items()}
+
+    def submap_global_poses(self) -> Dict[SubmapId, np.ndarray]:
+        return {SubmapId(t, i): e.global_pose_2d for (t, i), e in self.submap_data.items()}
