@@ -109,6 +109,7 @@ def insert_range_data(
     miss_probability: float = 0.49,
     insert_free_space: bool = True,
     ray_samples: int = 600,
+    method: str = "auto",
 ) -> Grid2D:
     """Insert one scan (already in the grid frame) into the grid.
 
@@ -118,22 +119,50 @@ def insert_range_data(
     endpoints) get the miss update, each cell updated at most once per scan.
     `ray_samples` must be >= 2 * max_ray_length / resolution for full ray
     coverage (the driver computes it from the config).
+
+    method:
+      - "polar" (TPU default): free space via polar rasterization — a per-bin
+        range image from the scan, then every cell closer than its bin's
+        range is free. One small scatter-min (N elements) plus one-hot
+        matmuls; ~5x less HBM traffic than per-ray sampling. Semantics match
+        ray casting except at occlusion boundaries (polar stops at the
+        nearest return per angular bin, which real rays cannot pass either).
+      - "mxu": per-ray sampling with count-image matmuls (no scatters).
+      - "scatter": the direct port of the reference's raycast (CPU default,
+        and the executable spec the others are tested against).
     """
+    if method == "auto":
+        method = "polar" if jax.default_backend() == "tpu" else "scatter"
+    if method == "polar":
+        return _insert_range_data_polar(
+            grid, range_data, hit_probability, miss_probability,
+            insert_free_space)
     s = grid.size
     flat_shape = s * s
 
-    def scatter_mask(cells: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-        """One-hot OR of `cells` (M, 2) where valid; (S*S,) bool."""
-        lin = cells[..., 0] * s + cells[..., 1]
-        lin = jnp.where(valid & ((cells[..., 0] >= 0) & (cells[..., 0] < s)
-                                 & (cells[..., 1] >= 0) & (cells[..., 1] < s)),
-                        lin, flat_shape)
-        out = jnp.zeros(flat_shape + 1, jnp.bool_)
-        return out.at[lin.reshape(-1)].set(True)[:flat_shape]
+    if method == "mxu":
+        from cartographer_tpu.ops.onehot import occupancy_mask, occupancy_mask_chunked
+
+        def mask_of(cells, valid):
+            return occupancy_mask(cells, valid, s)
+
+        def mask_of_large(cells, valid):
+            return occupancy_mask_chunked(cells, valid, s)
+    else:
+        def scatter_mask(cells: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+            lin = cells[..., 0] * s + cells[..., 1]
+            lin = jnp.where(valid & ((cells[..., 0] >= 0) & (cells[..., 0] < s)
+                                     & (cells[..., 1] >= 0) & (cells[..., 1] < s)),
+                            lin, flat_shape)
+            out = jnp.zeros(flat_shape + 1, jnp.bool_)
+            return out.at[lin.reshape(-1)].set(True)[:flat_shape].reshape(s, s)
+
+        mask_of = scatter_mask
+        mask_of_large = scatter_mask
 
     hits = range_data.returns
     hit_cells = grid.world_to_cell(hits.points)
-    hit_mask = scatter_mask(hit_cells, hits.mask).reshape(s, s)
+    hit_mask = mask_of(hit_cells, hits.mask)
 
     if insert_free_space:
         # Free-space samples along each return ray [origin, hit) and each miss
@@ -147,7 +176,7 @@ def insert_range_data(
             samples = range_data.origin + t[:, None, None] * delta[None, :, :]
             cells = grid.world_to_cell(samples)  # (K, N, 2)
             valid = jnp.broadcast_to(mask[None, :], cells.shape[:-1])
-            return scatter_mask(cells.reshape(-1, 2), valid.reshape(-1)).reshape(s, s)
+            return mask_of_large(cells.reshape(-1, 2), valid.reshape(-1))
 
         free_mask = ray_free_cells(hits.points, hits.mask, include_end=False)
         misses = range_data.misses
@@ -156,6 +185,11 @@ def insert_range_data(
     else:
         free_mask = jnp.zeros((s, s), bool)
 
+    return _apply_masks(grid, hit_mask, free_mask, hit_probability, miss_probability)
+
+
+def _apply_masks(grid: Grid2D, hit_mask, free_mask, hit_probability,
+                 miss_probability) -> Grid2D:
     hit_lo = probability_to_log_odds(jnp.float32(hit_probability))
     miss_lo = probability_to_log_odds(jnp.float32(miss_probability))
     log_odds = clamp_log_odds(
@@ -166,3 +200,79 @@ def insert_range_data(
     return dataclasses.replace(
         grid, log_odds=log_odds, known=grid.known | hit_mask | free_mask
     )
+
+
+def _insert_range_data_polar(
+    grid: Grid2D,
+    range_data: RangeData,
+    hit_probability: float,
+    miss_probability: float,
+    insert_free_space: bool,
+    num_bins: int = 1024,
+) -> Grid2D:
+    """Polar free-space rasterization (see insert_range_data docstring)."""
+    from cartographer_tpu.ops.onehot import occupancy_mask, onehot_rows
+
+    s = grid.size
+    hits = range_data.returns
+    hit_cells = grid.world_to_cell(hits.points)
+    hit_mask = occupancy_mask(hit_cells, hits.mask, s)
+
+    if not insert_free_space:
+        return _apply_masks(grid, hit_mask, jnp.zeros((s, s), bool),
+                            hit_probability, miss_probability)
+
+    res = grid.resolution
+    origin = range_data.origin
+
+    def bins_and_ranges(points, mask, extra):
+        d = points - origin
+        r = jnp.linalg.norm(d, axis=-1)
+        theta = jnp.arctan2(d[..., 1], d[..., 0])
+        b = jnp.clip(((theta + jnp.pi) * (num_bins / (2 * jnp.pi))).astype(jnp.int32),
+                     0, num_bins - 1)
+        return b, jnp.where(mask, r + extra, -jnp.inf)
+
+    # Range image: per-bin nearest return (free space stops there); miss rays
+    # free through their endpoint (+0.6 cell margin covers the end cell).
+    hb, hr = bins_and_ranges(hits.points, hits.mask, extra=0.0)
+    mb, mr = bins_and_ranges(range_data.misses.points, range_data.misses.mask,
+                             extra=0.6 * res)
+    range_img = jnp.full(num_bins, jnp.inf)
+    range_img = range_img.at[hb].min(jnp.where(jnp.isfinite(hr), hr, jnp.inf))
+    range_img = range_img.at[mb].min(jnp.where(jnp.isfinite(mr), mr, jnp.inf))
+    range_img = jnp.where(jnp.isfinite(range_img), range_img, 0.0)
+    # +-1-bin max dilation: a ray's 1-cell-wide free line covers cells whose
+    # centers fall in the adjacent angular bin (bin width < cell width at
+    # typical ranges).
+    range_img = jnp.maximum(range_img,
+                            jnp.maximum(jnp.roll(range_img, 1),
+                                        jnp.roll(range_img, -1)))
+
+    # Every cell whose center is closer than its bin's range is free.
+    ii = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    centers_x = grid.origin[0] + (ii.astype(jnp.float32) + 0.5) * res
+    centers_y = grid.origin[1] + (jj.astype(jnp.float32) + 0.5) * res
+    dx = centers_x - origin[0]
+    dy = centers_y - origin[1]
+    r_cell = jnp.sqrt(dx * dx + dy * dy)
+    theta_cell = jnp.arctan2(dy, dx)
+    bin_cell = jnp.clip(
+        ((theta_cell + jnp.pi) * (num_bins / (2 * jnp.pi))).astype(jnp.int32),
+        0, num_bins - 1)
+    # Threshold lookup as a one-hot matmul (gathers are near-serial on TPU),
+    # chunked so the one-hot operand stays ~64 MB.
+    flat_bins = bin_cell.reshape(-1)
+    chunk = 32768
+    pad = (-flat_bins.shape[0]) % chunk
+    padded_bins = jnp.pad(flat_bins, (0, pad)).reshape(-1, chunk)
+    rimg = range_img.astype(jnp.float32)
+
+    def lookup(b):
+        oh = onehot_rows(b, jnp.ones(chunk, bool), num_bins)
+        return jnp.dot(oh, rimg, preferred_element_type=jnp.float32)
+
+    thresholds = jax.lax.map(lookup, padded_bins).reshape(-1)[: s * s].reshape(s, s)
+    free_mask = (r_cell < thresholds - 0.5 * res) & ~hit_mask
+    return _apply_masks(grid, hit_mask, free_mask, hit_probability, miss_probability)

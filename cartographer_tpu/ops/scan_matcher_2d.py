@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from cartographer_tpu.ops.gauss_newton import lm_solve
@@ -40,16 +41,26 @@ def occupied_space_residuals(
     mask: jnp.ndarray,
     pose_vec: jnp.ndarray,
     weight: float,
+    method: str = "auto",
 ) -> jnp.ndarray:
     """Per-point residual w * (1 - P(T(p))) with bicubic P; invalid -> 0.
 
     Matches OccupiedSpaceCostFunction2D (occupied_space_cost_function_2d.cc):
     each residual scaled by occupied_space_weight / sqrt(num_points).
+    On TPU the interpolation runs as banded weight-matrix matmuls
+    (ops/onehot.interp_bicubic_mm) — the 16-neighbor gather form is
+    memory-latency bound there.
     """
+    if method == "auto":
+        method = "mxu" if jax.default_backend() == "tpu" else "gather"
     pose = Rigid2.from_vector(pose_vec)
     world = pose.apply(points)
     coords = grid.world_to_cell_continuous(world)
-    p = interp_bicubic(grid_prob, coords)
+    if method == "mxu":
+        from cartographer_tpu.ops.onehot import interp_bicubic_mm
+        p = interp_bicubic_mm(grid_prob, coords)
+    else:
+        p = interp_bicubic(grid_prob, coords)
     n = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
     scale = weight / jnp.sqrt(n)
     return jnp.where(mask, scale * (1.0 - p), 0.0)

@@ -59,8 +59,23 @@ def constraint_residual(pose_a: jnp.ndarray, pose_b: jnp.ndarray,
 
 def solve_spa_2d(problem: SpaProblem2D, num_iterations: int = 50,
                  huber_scale: float = 1e1, damping: float = 1e-6) -> jnp.ndarray:
-    """Gauss-Newton with IRLS Huber weighting; returns optimized poses (V, 3)."""
+    """Gauss-Newton with IRLS Huber weighting; returns optimized poses (V, 3).
+
+    Weights are normalized by their maximum before use (argmin-invariant;
+    the Huber threshold rescales by the same factor) so the reference's
+    1e4-1e5-scale weights stay conditioned in float32 — Ceres solves the
+    same problem in double.
+    """
     V = problem.poses.shape[0]
+    wmax = jnp.maximum(
+        jnp.max(jnp.where(problem.valid, problem.trans_weight, 0.0)),
+        jnp.max(jnp.where(problem.valid, problem.rot_weight, 0.0)))
+    wmax = jnp.maximum(wmax, 1e-12)
+    problem = dataclasses.replace(
+        problem,
+        trans_weight=problem.trans_weight / wmax,
+        rot_weight=problem.rot_weight / wmax)
+    huber_scale = huber_scale / wmax
 
     def res_of_pair(pa, pb, rel, tw, rw):
         return constraint_residual(pa, pb, rel, tw, rw)
