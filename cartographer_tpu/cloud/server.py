@@ -1,0 +1,303 @@
+"""MapBuilderServer: gRPC ingestion -> blocking queue -> SLAM thread [HOST].
+
+Reference: cloud/internal/map_builder_server.cc — gRPC handlers enqueue
+sensor data into `incoming_data_queue_`; a dedicated SLAM thread drains it
+into the MapBuilder (:157-176); local-SLAM results fan out to streaming
+subscribers (map_builder_server.h:104-146) and optionally to the
+LocalTrajectoryUploader for multi-tier mapping.
+
+Service surface mirrors proto::MapBuilderService
+(cloud/proto/map_builder_service.proto:257-352) with msgpack payloads over
+grpcio generic handlers.
+"""
+
+from __future__ import annotations
+
+import io as pyio
+import queue
+import threading
+from concurrent import futures
+from typing import Dict, List, Optional
+
+import grpc
+import numpy as np
+
+from cartographer_tpu.cloud import codec
+from cartographer_tpu.core.config import MapBuilderServerOptions, TrajectoryBuilderOptions
+from cartographer_tpu.mapping.map_builder import MapBuilder
+
+SERVICE = "cartographer_tpu.MapBuilderService"
+
+
+def _method(name: str) -> str:
+    return f"/{SERVICE}/{name}"
+
+
+class MapBuilderServer:
+    def __init__(self, options: MapBuilderServerOptions,
+                 trajectory_options: Optional[TrajectoryBuilderOptions] = None):
+        self._options = options
+        self._default_trajectory_options = trajectory_options or TrajectoryBuilderOptions()
+        self.map_builder = MapBuilder(options.map_builder)
+        self._incoming: "queue.Queue" = queue.Queue(maxsize=10000)
+        self._slam_thread: Optional[threading.Thread] = None
+        self._shutdown = threading.Event()
+        self._local_slam_subscriptions: List[queue.Queue] = []
+        self._global_slam_subscriptions: List[queue.Queue] = []
+        self._client_ids: Dict[int, str] = {}
+        self._finished: Dict[int, bool] = {}
+        self._lock = threading.Lock()
+        self._uploader = None
+        if options.uplink_server_address:
+            from cartographer_tpu.cloud.uploader import LocalTrajectoryUploader
+            self._uploader = LocalTrajectoryUploader(
+                options.uplink_server_address, options.upload_batch_size)
+
+        self._grpc_server = grpc.server(
+            futures.ThreadPoolExecutor(max_workers=options.num_grpc_threads))
+        self._grpc_server.add_generic_rpc_handlers([self._make_handlers()])
+        self.port = self._grpc_server.add_insecure_port(options.server_address)
+
+    # ------------------------------------------------------------ lifecycle
+
+    def start(self) -> None:
+        if self._uploader is not None:
+            self._uploader.start()
+        self._start_slam_thread()
+        self._grpc_server.start()
+
+    def shutdown(self) -> None:
+        self._shutdown.set()
+        self._incoming.put(None)
+        if self._slam_thread is not None:
+            self._slam_thread.join(timeout=10)
+        if self._uploader is not None:
+            self._uploader.shutdown()
+        self._grpc_server.stop(grace=1).wait()
+
+    def wait_for_shutdown(self) -> None:
+        self._grpc_server.wait_for_termination()
+
+    def _start_slam_thread(self) -> None:
+        def run():
+            # ProcessSensorDataQueue (map_builder_server.cc:157-176).
+            while not self._shutdown.is_set():
+                item = self._incoming.get()
+                try:
+                    if item is None:
+                        break
+                    trajectory_id, sensor_id, data = item
+                    try:
+                        self.map_builder.add_sensor_data(trajectory_id, sensor_id, data)
+                    except Exception as e:  # noqa: BLE001
+                        # A poisoned sample must not kill the serving thread
+                        # (the reference CHECK-crashes the whole process; a
+                        # server drops the sample and keeps serving).
+                        import logging
+                        logging.getLogger(__name__).exception(
+                            "dropping sensor data for trajectory %s sensor %s: %s",
+                            trajectory_id, sensor_id, e)
+                finally:
+                    self._incoming.task_done()
+
+        self._slam_thread = threading.Thread(target=run, daemon=True, name="slam")
+        self._slam_thread.start()
+
+    # ------------------------------------------------------------ callbacks
+
+    def _on_local_slam_result(self, trajectory_id, time, translation, rotation,
+                              matching_result) -> None:
+        msg = {
+            "trajectory_id": trajectory_id, "time": time,
+            "translation": codec._nd(np.asarray(translation)),
+            "rotation": codec._nd(np.asarray(rotation)),
+        }
+        with self._lock:
+            subs = list(self._local_slam_subscriptions)
+        for q in subs:
+            try:
+                q.put_nowait(msg)
+            except queue.Full:
+                pass
+        if self._uploader is not None:
+            self._uploader.enqueue_local_slam_result(trajectory_id, msg)
+
+    # ------------------------------------------------------------ handlers
+
+    def _make_handlers(self):
+        def unary(fn):
+            return grpc.unary_unary_rpc_method_handler(
+                fn, request_deserializer=codec.decode,
+                response_serializer=codec.encode)
+
+        def client_stream(fn):
+            return grpc.stream_unary_rpc_method_handler(
+                fn, request_deserializer=codec.decode,
+                response_serializer=codec.encode)
+
+        def server_stream(fn):
+            return grpc.unary_stream_rpc_method_handler(
+                fn, request_deserializer=codec.decode,
+                response_serializer=codec.encode)
+
+        method_handlers = {
+            "AddTrajectory": unary(self._add_trajectory),
+            "FinishTrajectory": unary(self._finish_trajectory),
+            "AddSensorData": client_stream(self._add_sensor_data_stream),
+            "AddRangefinderData": client_stream(self._add_sensor_data_stream),
+            "AddImuData": client_stream(self._add_sensor_data_stream),
+            "AddOdometryData": client_stream(self._add_sensor_data_stream),
+            "AddFixedFramePoseData": client_stream(self._add_sensor_data_stream),
+            "AddLandmarkData": client_stream(self._add_sensor_data_stream),
+            "AddSensorDataBatch": unary(self._add_sensor_data_batch),
+            "AddLocalSlamResultBatch": unary(self._add_local_slam_result_batch),
+            "GetTrajectoryNodePoses": unary(self._get_trajectory_node_poses),
+            "GetAllSubmapPoses": unary(self._get_all_submap_poses),
+            "GetConstraints": unary(self._get_constraints),
+            "GetLocalToGlobalTransform": unary(self._get_local_to_global),
+            "IsTrajectoryFinished": unary(self._is_trajectory_finished),
+            "IsTrajectoryFrozen": unary(self._is_trajectory_frozen),
+            "RunFinalOptimization": unary(self._run_final_optimization),
+            "WriteState": unary(self._write_state),
+            "LoadState": unary(self._load_state),
+            "ReceiveLocalSlamResults": server_stream(self._receive_local_slam_results),
+        }
+        return grpc.method_handlers_generic_handler(SERVICE, method_handlers)
+
+    def _add_trajectory(self, request, context):
+        expected_sensor_ids = request["expected_sensor_ids"]
+        client_id = request.get("client_id", "")
+        trajectory_id = self.map_builder.add_trajectory_builder(
+            expected_sensor_ids, self._default_trajectory_options,
+            local_slam_result_callback=self._on_local_slam_result)
+        with self._lock:
+            self._client_ids[trajectory_id] = client_id
+            self._finished[trajectory_id] = False
+        if self._uploader is not None:
+            self._uploader.add_trajectory(trajectory_id, expected_sensor_ids)
+        return {"trajectory_id": trajectory_id}
+
+    def _check_client(self, trajectory_id, client_id, context):
+        with self._lock:
+            expected = self._client_ids.get(trajectory_id)
+        if expected is not None and client_id and expected != client_id:
+            context.abort(grpc.StatusCode.PERMISSION_DENIED,
+                          f"client {client_id} does not own trajectory {trajectory_id}")
+
+    def _add_sensor_data_stream(self, request_iterator, context):
+        count = 0
+        for request in request_iterator:
+            self._check_client(request["trajectory_id"],
+                               request.get("client_id", ""), context)
+            sensor_id, data = codec.decode_sensor_data(request["sensor_data"])
+            self._incoming.put((request["trajectory_id"], sensor_id, data))
+            count += 1
+        return {"received": count}
+
+    def _add_sensor_data_batch(self, request, context):
+        for item in request["sensor_data"]:
+            sensor_id, data = codec.decode_sensor_data(item["sensor_data"])
+            self._incoming.put((item["trajectory_id"], sensor_id, data))
+        return {"received": len(request["sensor_data"])}
+
+    def _add_local_slam_result_batch(self, request, context):
+        """Tier-2 ingestion of uplinked local-SLAM results (the reference's
+        AddLocalSlamResultData path: an uplink server runs only the pose
+        graph over pre-matched local results)."""
+        with self._lock:
+            if not hasattr(self, "uploaded_local_slam_results"):
+                self.uploaded_local_slam_results = []
+            self.uploaded_local_slam_results.extend(request["results"])
+        return {"received": len(request["results"])}
+
+    def _finish_trajectory(self, request, context):
+        tid = request["trajectory_id"]
+        self._drain()
+        self.map_builder.finish_trajectory(tid)
+        with self._lock:
+            self._finished[tid] = True
+        return {}
+
+    def _drain(self) -> None:
+        """Block until the SLAM thread has consumed everything enqueued."""
+        self._incoming.join()
+
+    def _get_trajectory_node_poses(self, request, context):
+        self._drain()
+        out = []
+        for (tid, idx), node in self.map_builder.pose_graph.nodes.items():
+            pose = getattr(node, "global_pose_2d", None)
+            if pose is not None:
+                out.append({"trajectory_id": tid, "node_index": idx,
+                            "pose": [float(x) for x in pose]})
+            else:
+                out.append({"trajectory_id": tid, "node_index": idx,
+                            "translation": [float(x) for x in node.global_t],
+                            "rotation": [float(x) for x in node.global_q]})
+        return {"node_poses": out}
+
+    def _get_all_submap_poses(self, request, context):
+        self._drain()
+        out = []
+        for (tid, idx), entry in self.map_builder.pose_graph.submap_data.items():
+            pose = getattr(entry, "global_pose_2d", None)
+            if pose is not None:
+                out.append({"trajectory_id": tid, "submap_index": idx,
+                            "pose": [float(x) for x in pose],
+                            "num_range_data": entry.submap.num_range_data})
+        return {"submap_poses": out}
+
+    def _get_constraints(self, request, context):
+        self._drain()
+        out = []
+        for c in self.map_builder.pose_graph.constraints:
+            out.append({
+                "submap_id": [c.submap_id.trajectory_id, c.submap_id.submap_index],
+                "node_id": [c.node_id.trajectory_id, c.node_id.node_index],
+                "tag": c.tag,
+            })
+        return {"constraints": out}
+
+    def _get_local_to_global(self, request, context):
+        # Identity until optimization moves things; 2D only for now.
+        return {"transform": [0.0, 0.0, 0.0]}
+
+    def _is_trajectory_finished(self, request, context):
+        with self._lock:
+            return {"is_finished": self._finished.get(request["trajectory_id"], False)}
+
+    def _is_trajectory_frozen(self, request, context):
+        pg = self.map_builder.pose_graph
+        return {"is_frozen": request["trajectory_id"] in pg._frozen_trajectories}
+
+    def _run_final_optimization(self, request, context):
+        self._drain()
+        self.map_builder.pose_graph.run_final_optimization()
+        return {}
+
+    def _write_state(self, request, context):
+        self._drain()
+        buf = pyio.BytesIO()
+        self.map_builder.serialize_state(buf)
+        return {"state": buf.getvalue()}
+
+    def _load_state(self, request, context):
+        buf = pyio.BytesIO(request["state"])
+        remapping = self.map_builder.load_state(
+            buf, load_frozen_state=request.get("load_frozen_state", True))
+        return {"trajectory_remapping": {str(k): v for k, v in remapping.items()}}
+
+    def _receive_local_slam_results(self, request, context):
+        q: queue.Queue = queue.Queue(maxsize=1000)
+        with self._lock:
+            self._local_slam_subscriptions.append(q)
+        try:
+            while context.is_active():
+                try:
+                    msg = q.get(timeout=0.2)
+                    yield msg
+                except queue.Empty:
+                    continue
+        finally:
+            with self._lock:
+                self._local_slam_subscriptions.remove(q)

@@ -1,0 +1,76 @@
+"""pbstream CLI: `python -m cartographer_tpu.io.pbstream_main info|migrate <file>`.
+
+Reference: cartographer/io/pbstream_main.cc (+ internal/pbstream_info.cc,
+pbstream_migrate.cc).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import msgpack
+
+from cartographer_tpu.io.pbstream import ProtoStreamReader, ProtoStreamWriter
+from cartographer_tpu.io.serialization import SERIALIZATION_FORMAT_VERSION, _migrate_v1
+
+
+def info(path: str, verbose: bool = False) -> int:
+    reader = ProtoStreamReader(path)
+    counts = {}
+    version = None
+    for record in reader:
+        try:
+            msg = msgpack.unpackb(record, raw=False)
+            kind = msg.get("type", "unknown")
+            if kind == "header":
+                version = msg.get("format_version")
+        except Exception:
+            kind = "opaque"
+        counts[kind] = counts.get(kind, 0) + 1
+    reader.close()
+    print(f"format_version: {version}")
+    for kind in sorted(counts):
+        print(f"{kind}: {counts[kind]}")
+    return 0
+
+
+def migrate(src: str, dst: str) -> int:
+    reader = ProtoStreamReader(src)
+    records = [msgpack.unpackb(r, raw=False) for r in reader]
+    reader.close()
+    if not records or records[0].get("type") != "header":
+        print("not a cartographer_tpu pbstream", file=sys.stderr)
+        return 1
+    version = records[0]["format_version"]
+    if version == SERIALIZATION_FORMAT_VERSION:
+        print("already at current version")
+        return 0
+    if version == 1:
+        records = _migrate_v1(records)
+        records[0]["format_version"] = SERIALIZATION_FORMAT_VERSION
+    writer = ProtoStreamWriter(dst)
+    for r in records:
+        writer.write(msgpack.packb(r, use_bin_type=True))
+    writer.close()
+    print(f"migrated v{version} -> v{SERIALIZATION_FORMAT_VERSION}: {dst}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="pbstream")
+    sub = parser.add_subparsers(dest="command", required=True)
+    p_info = sub.add_parser("info")
+    p_info.add_argument("file")
+    p_info.add_argument("--all_debug_strings", action="store_true")
+    p_mig = sub.add_parser("migrate")
+    p_mig.add_argument("input")
+    p_mig.add_argument("output")
+    args = parser.parse_args(argv)
+    if args.command == "info":
+        return info(args.file, args.all_debug_strings)
+    return migrate(args.input, args.output)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

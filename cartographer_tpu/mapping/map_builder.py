@@ -86,6 +86,57 @@ class GlobalTrajectoryBuilder:
         return self._local.finish()
 
 
+class GlobalTrajectoryBuilder3D:
+    """3D glue: local SLAM results -> PoseGraph3D
+    (global_trajectory_builder.cc templated over 2D/3D in the reference)."""
+
+    def __init__(self, trajectory_id: int, local_builder, pose_graph,
+                 local_slam_result_callback=None):
+        self.trajectory_id = trajectory_id
+        self._local = local_builder
+        self._pose_graph = pose_graph
+        self._callback = local_slam_result_callback
+
+    def add_range_data(self, sensor_id: str, data: TimedPointCloudData) -> None:
+        from cartographer_tpu.mapping.pose_graph_3d import TrajectoryNode3D
+
+        result = self._local.add_range_data(sensor_id, data)
+        if result is None:
+            return
+        if result.insertion_result is not None:
+            ir = result.insertion_result
+            node = TrajectoryNode3D(
+                time=ir.time,
+                gravity_alignment=ir.gravity_alignment,
+                high_res_cloud=ir.high_res_cloud,
+                low_res_cloud=ir.low_res_cloud,
+                scan_histogram=ir.scan_histogram,
+                local_pose_translation=ir.local_pose_translation,
+                local_pose_rotation=ir.local_pose_rotation,
+            )
+            self._pose_graph.add_node(
+                self.trajectory_id, node, ir.insertion_submaps, ir.finished_submaps)
+        if self._callback is not None:
+            self._callback(self.trajectory_id, result.time,
+                           result.local_pose_translation,
+                           result.local_pose_rotation, result)
+
+    def add_imu_data(self, imu_data: ImuData) -> None:
+        self._local.add_imu_data(imu_data)
+
+    def add_odometry_data(self, odometry_data: OdometryData) -> None:
+        self._local.add_odometry_data(odometry_data)
+
+    def add_fixed_frame_pose_data(self, data: FixedFramePoseData) -> None:
+        pass
+
+    def add_landmark_data(self, data: LandmarkData) -> None:
+        pass
+
+    def finish(self):
+        return self._local.finish()
+
+
 class MapBuilder:
     """Reference MapBuilderInterface implementation (map_builder.cc)."""
 
@@ -93,7 +144,11 @@ class MapBuilder:
         if not options.use_trajectory_builder_2d and not options.use_trajectory_builder_3d:
             raise ValueError("one of use_trajectory_builder_2d/3d must be set")
         self._options = options
-        self.pose_graph = PoseGraph2D(options.pose_graph)
+        if options.use_trajectory_builder_3d:
+            from cartographer_tpu.mapping.pose_graph_3d import PoseGraph3D
+            self.pose_graph = PoseGraph3D(options.pose_graph)
+        else:
+            self.pose_graph = PoseGraph2D(options.pose_graph)
         self._collator = (TrajectoryCollator() if options.collate_by_trajectory
                           else Collator())
         self._builders: Dict[int, GlobalTrajectoryBuilder] = {}
@@ -109,21 +164,22 @@ class MapBuilder:
         local_slam_result_callback: Optional[LocalSlamResultCallback] = None,
     ) -> int:
         trajectory_id = len(self._builders) + len(self._frozen)
+        range_ids = [s for s in expected_sensor_ids
+                     if s.startswith("range") or "laser" in s or "points" in s]
         if self._options.use_trajectory_builder_3d:
             from cartographer_tpu.mapping.local_trajectory_builder_3d import (
                 LocalTrajectoryBuilder3D,
             )
-            range_ids = [s for s in expected_sensor_ids if s.startswith("range") or "laser" in s or "points" in s]
             local = LocalTrajectoryBuilder3D(
                 trajectory_options.trajectory_builder_3d, range_ids or expected_sensor_ids)
+            builder = GlobalTrajectoryBuilder3D(
+                trajectory_id, local, self.pose_graph, local_slam_result_callback)
         else:
-            range_ids = [s for s in expected_sensor_ids
-                         if s.startswith("range") or "laser" in s or "points" in s]
             local = LocalTrajectoryBuilder2D(
                 trajectory_options.trajectory_builder_2d,
                 range_ids or expected_sensor_ids)
-        builder = GlobalTrajectoryBuilder(
-            trajectory_id, local, self.pose_graph, local_slam_result_callback)
+            builder = GlobalTrajectoryBuilder(
+                trajectory_id, local, self.pose_graph, local_slam_result_callback)
         self._builders[trajectory_id] = builder
         self._sensor_ids[trajectory_id] = list(expected_sensor_ids)
 

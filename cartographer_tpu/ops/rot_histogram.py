@@ -92,15 +92,16 @@ def compute_rotational_histogram(
 
 
 def rotate_histogram(histogram: jnp.ndarray, angle) -> jnp.ndarray:
-    """Rotate by `angle` with linear interpolation between buckets
-    (RotationalScanMatcher::RotateHistogram)."""
+    """Rotate the histogram *content* by +angle with linear interpolation
+    between buckets (RotationalScanMatcher::RotateHistogram): a feature at
+    angular bin b moves to bin b + angle * size / pi."""
     size = histogram.shape[0]
     shift = jnp.asarray(angle) * size / jnp.pi
     lo = jnp.floor(shift).astype(jnp.int32)
     frac = shift - lo
-    idx = (jnp.arange(size) + lo) % size
-    idx2 = (idx + 1) % size
-    return (1.0 - frac) * histogram[idx] + frac * histogram[idx2]
+    upper = (jnp.arange(size) - lo) % size
+    lower = (upper - 1) % size
+    return (1.0 - frac) * histogram[upper] + frac * histogram[lower]
 
 
 def match_histograms(submap_histogram: jnp.ndarray,

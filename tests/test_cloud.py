@@ -1,0 +1,172 @@
+"""Distributed map-builder tests without a real cluster (reference:
+cloud/internal/client_server_test.cc): real gRPC server + stub on localhost,
+two-tier uplink topology in one process, and delayed-uplink fault injection
+exercising TryRecovery."""
+
+import math
+import time
+
+import numpy as np
+import pytest
+
+from cartographer_tpu.cloud.client import MapBuilderStub
+from cartographer_tpu.cloud.server import MapBuilderServer
+from cartographer_tpu.core.config import (
+    MapBuilderOptions,
+    MapBuilderServerOptions,
+    TrajectoryBuilderOptions,
+    apply_overrides,
+)
+from cartographer_tpu.core.time import from_seconds
+from cartographer_tpu.sensor.data import TimedPointCloudData
+
+from test_local_slam_2d import make_wall_points, scan_at, small_options
+
+
+def make_server(port=0, uplink="", upload_batch_size=4):
+    tb2 = small_options(**{"submaps.num_range_data": 8,
+                           "motion_filter.max_distance_meters": 0.01})
+    traj = TrajectoryBuilderOptions(trajectory_builder_2d=tb2)
+    mb = apply_overrides(
+        MapBuilderOptions(use_trajectory_builder_2d=True, collate_by_trajectory=True),
+        {"pose_graph.optimize_every_n_nodes": 0})
+    opts = MapBuilderServerOptions(
+        map_builder=mb, server_address=f"localhost:{port}",
+        uplink_server_address=uplink, upload_batch_size=upload_batch_size)
+    return MapBuilderServer(opts, trajectory_options=traj)
+
+
+def drive_scans(stub, tid, num=10, start_index=0):
+    world = make_wall_points(num=200, seed=7)
+    t0 = 1_000_000_000
+    for i in range(start_index, start_index + num):
+        scan = scan_at(world, np.array([0.05 * i, 0.0]), 0.0)
+        stub.add_sensor_data(tid, "laser", TimedPointCloudData(
+            time=t0 + from_seconds(i * 0.1), origin=np.zeros(3, np.float32),
+            ranges=scan, times=np.zeros(len(scan), np.float32)))
+
+
+class TestClientServer:
+    def test_roundtrip_local_slam(self):
+        server = make_server()
+        server.start()
+        try:
+            stub = MapBuilderStub(f"localhost:{server.port}")
+            tid = stub.add_trajectory_builder(["laser"])
+            assert tid == 0
+            drive_scans(stub, tid, num=10)
+            stub.finish_trajectory(tid)
+            poses = stub.pose_graph.get_trajectory_node_poses()
+            assert len(poses) == 10
+            # Tracking worked through the network path.
+            last = poses[-1]["pose"]
+            assert abs(last[0] - 0.45) < 0.1
+            subs = stub.pose_graph.get_all_submap_poses()
+            assert len(subs) >= 1
+            constraints = stub.pose_graph.get_constraints()
+            assert len(constraints) > 0
+            assert stub.pose_graph.is_trajectory_finished(tid)
+            stub.close()
+        finally:
+            server.shutdown()
+
+    def test_write_and_load_state(self):
+        server = make_server()
+        server.start()
+        try:
+            stub = MapBuilderStub(f"localhost:{server.port}")
+            tid = stub.add_trajectory_builder(["laser"])
+            drive_scans(stub, tid, num=5)
+            stub.finish_trajectory(tid)
+            state = stub.write_state()
+            assert len(state) > 100
+            remap = stub.load_state(state)
+            assert remap == {"0": 1}
+            stub.close()
+        finally:
+            server.shutdown()
+
+    def test_client_id_enforced(self):
+        import grpc
+        server = make_server()
+        server.start()
+        try:
+            stub_a = MapBuilderStub(f"localhost:{server.port}", client_id="a")
+            tid = stub_a.add_trajectory_builder(["laser"])
+            stub_b = MapBuilderStub(f"localhost:{server.port}", client_id="b")
+            stub_b._streams[tid] = stub_b._builders[tid] = None
+            from cartographer_tpu.cloud.client import _SensorStream
+            stream = _SensorStream(stub_b._channel, tid, "b")
+            world = make_wall_points(num=50, seed=0)
+            stream.add("laser", TimedPointCloudData(
+                time=1_000_000, origin=np.zeros(3, np.float32),
+                ranges=scan_at(world, np.zeros(2), 0.0),
+                times=np.zeros(len(world), np.float32)))
+            with pytest.raises(grpc.RpcError):
+                stream.finish()
+            stub_a.close()
+            stub_b.close()
+        finally:
+            server.shutdown()
+
+
+class TestTwoTier:
+    def test_uplink_receives_batches(self):
+        # Tier-2 (uplink) server, then tier-1 chained into it
+        # (client_server_test.cc:99-113 chained topology).
+        tier2 = make_server()
+        tier2.start()
+        tier1 = make_server(uplink=f"localhost:{tier2.port}", upload_batch_size=2)
+        tier1.start()
+        try:
+            stub = MapBuilderStub(f"localhost:{tier1.port}")
+            tid = stub.add_trajectory_builder(["laser"])
+            drive_scans(stub, tid, num=6)
+            stub.finish_trajectory(tid)
+            deadline = time.time() + 20
+            while time.time() < deadline:
+                uploaded = getattr(tier2, "uploaded_local_slam_results", [])
+                if len(uploaded) >= 6:
+                    break
+                time.sleep(0.2)
+            uploaded = getattr(tier2, "uploaded_local_slam_results", [])
+            assert len(uploaded) >= 6, len(uploaded)
+            stub.close()
+        finally:
+            tier1.shutdown()
+            tier2.shutdown()
+
+    def test_delayed_uplink_recovery(self):
+        # Fault injection: tier-1 starts with a dead uplink address; data
+        # flows; the uplink comes up later and TryRecovery reconnects
+        # (client_server_test.cc:598 DelayedConnectionToUplinkServer).
+        import socket
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            reserved_port = s.getsockname()[1]
+        tier1 = make_server(uplink=f"localhost:{reserved_port}", upload_batch_size=2)
+        tier1.start()
+        try:
+            stub = MapBuilderStub(f"localhost:{tier1.port}")
+            tid = stub.add_trajectory_builder(["laser"])
+            drive_scans(stub, tid, num=4)
+            time.sleep(1.0)  # results pile up / drop while uplink is down
+            tier2 = make_server(port=reserved_port)
+            tier2.start()
+            try:
+                drive_scans(stub, tid, num=4, start_index=4)
+                stub.finish_trajectory(tid)
+                deadline = time.time() + 30
+                uploaded = []
+                while time.time() < deadline:
+                    uploaded = getattr(tier2, "uploaded_local_slam_results", [])
+                    if len(uploaded) >= 1:
+                        break
+                    time.sleep(0.3)
+                assert len(uploaded) >= 1, "uplink never recovered"
+                assert tier1._uploader.num_recoveries >= 1
+            finally:
+                tier2.shutdown()
+            stub.close()
+        finally:
+            tier1.shutdown()
