@@ -65,10 +65,12 @@ class LocalTrajectoryUploader:
     # ------------------------------------------------------------ internals
 
     def _connect(self) -> bool:
+        import cartographer_tpu.cloud.uploader as _mod
+
         try:
             self._channel = grpc.insecure_channel(self._address)
             grpc.channel_ready_future(self._channel).result(
-                timeout=_CONNECT_TIMEOUT_SECONDS)
+                timeout=_mod._CONNECT_TIMEOUT_SECONDS)
             return True
         except grpc.FutureTimeoutError:
             return False

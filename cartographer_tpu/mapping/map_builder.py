@@ -183,10 +183,14 @@ class MapBuilder:
         self._builders[trajectory_id] = builder
         self._sensor_ids[trajectory_id] = list(expected_sensor_ids)
 
-        if trajectory_options.pure_localization_trimmer is not None:
-            # Pure localization: trimmers keep only the last N submaps of this
-            # trajectory (map_builder.cc:56-73); trimming wired in pose graph.
-            pass
+        if (trajectory_options.pure_localization_trimmer is not None
+                and hasattr(self.pose_graph, "add_trimmer")):
+            # Pure localization: keep only the last N submaps of this
+            # trajectory (map_builder.cc:56-73).
+            from cartographer_tpu.mapping.trimmers import PureLocalizationTrimmer
+            self.pose_graph.add_trimmer(PureLocalizationTrimmer(
+                trajectory_id,
+                trajectory_options.pure_localization_trimmer.max_submaps_to_keep))
 
         self._collator.add_trajectory(
             trajectory_id, expected_sensor_ids, self._dispatch)

@@ -81,6 +81,7 @@ class PoseGraph2D:
         self._frozen_trajectories: Set[int] = set()
         self._connected: Dict[int, int] = {}  # union-find parent
         self._global_optimization_callbacks = []
+        self._trimmers: List = []
 
     # ------------------------------------------------------------ connectivity
 
@@ -270,6 +271,25 @@ class PoseGraph2D:
             rws.append(c.rotation_weight)
             hubers.append(c.tag == "INTER_SUBMAP")
 
+        # Consecutive-node constraints from local SLAM (and odometry when
+        # available) — optimization_problem_2d.cc:304-349: without them the
+        # relative motion between nodes is only constrained through shared
+        # submaps.
+        op = self._options.optimization_problem
+        for tid in self.nodes.trajectory_ids():
+            if tid in self._frozen_trajectories:
+                continue
+            items = self.nodes.trajectory(tid)
+            for (i1, n1), (i2, n2) in zip(items, items[1:]):
+                p1 = _pose2d_of_node(n1)
+                p2 = _pose2d_of_node(n2)
+                a_idx.append(node_slots[NodeId(tid, i1)])
+                b_idx.append(node_slots[NodeId(tid, i2)])
+                rels.append(_compose2d(_inverse2d(p1), p2))
+                tws.append(op.local_slam_pose_translation_weight)
+                rws.append(op.local_slam_pose_rotation_weight)
+                hubers.append(False)
+
         C = len(a_idx)
         cap = 1 << int(np.ceil(np.log2(max(C, 16))))
         vcap = len(poses)
@@ -299,11 +319,79 @@ class PoseGraph2D:
         for nid, slot in node_slots.items():
             self.nodes[nid].global_pose_2d = solved[slot].astype(np.float64)
         self._num_nodes_since_last_optimization = 0
+        self._run_trimmers()
         for cb in self._global_optimization_callbacks:
             cb()
 
     def run_final_optimization(self) -> None:
         self.run_optimization(self._options.max_num_final_iterations)
+
+    # ------------------------------------------------------------ trimming
+
+    def add_trimmer(self, trimmer) -> None:
+        """PoseGraph2D::AddTrimmer; trimmers run after each optimization."""
+        self._trimmers.append(trimmer)
+
+    def _run_trimmers(self) -> None:
+        for trimmer in list(self._trimmers):
+            trimmer.trim(self)
+            if trimmer.is_finished():
+                self._trimmers.remove(trimmer)
+
+    # -- Trimmable handle API (pose_graph_trimmer.h:28-54) -------------------
+
+    def get_submap_ids(self, trajectory_id: int) -> List[SubmapId]:
+        return [SubmapId(trajectory_id, i)
+                for i, _ in self.submap_data.trajectory(trajectory_id)]
+
+    def get_all_submap_ids(self) -> List[SubmapId]:
+        return [SubmapId(t, i) for (t, i), _ in self.submap_data.items()]
+
+    def get_submap_coverage_cells(self, submap_id: SubmapId, cell_size: float):
+        """Coarse world-frame coverage cells of a finished submap's known area."""
+        entry = self.submap_data.get(submap_id)
+        if entry is None or entry.submap.grid is None:
+            return []
+        grid = entry.submap.grid
+        imin, imax, jmin, jmax = grid.known_bounds_numpy()
+        if imax < imin:
+            return []
+        origin = np.asarray(grid.origin)
+        cells = set()
+        step = max(1, int(cell_size / grid.resolution))
+        known = np.asarray(grid.known)
+        for i in range(imin, imax + 1, step):
+            for j in range(jmin, jmax + 1, step):
+                if known[i, j]:
+                    x = origin[0] + (i + 0.5) * grid.resolution
+                    y = origin[1] + (j + 0.5) * grid.resolution
+                    cells.add((int(np.floor(x / cell_size)),
+                               int(np.floor(y / cell_size))))
+        return list(cells)
+
+    def trim_submap(self, submap_id: SubmapId) -> None:
+        """TrimSubmap (pose_graph_2d.cc via Trimmable): drop the submap, its
+        constraints, and nodes left without any INTRA constraint."""
+        if submap_id not in self.submap_data:
+            return
+        del self.submap_data[submap_id]
+        self._constraint_builder.remove_submap(submap_id)
+        kept = []
+        nodes_still_referenced = set()
+        for c in self.constraints:
+            if c.submap_id == submap_id:
+                continue
+            kept.append(c)
+            if c.tag == "INTRA_SUBMAP":
+                nodes_still_referenced.add(c.node_id)
+        self.constraints = kept
+        for (tid, nindex), _ in list(self.nodes.items()):
+            nid = NodeId(tid, nindex)
+            if nid not in nodes_still_referenced:
+                del self.nodes[nid]
+        self.constraints = [
+            c for c in self.constraints
+            if c.node_id in nodes_still_referenced]
 
     # ------------------------------------------------------------ queries
 

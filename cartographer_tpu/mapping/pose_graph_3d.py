@@ -304,6 +304,26 @@ class PoseGraph3D:
             rw.append(c.rotation_weight)
             hub.append(c.tag == "INTER_SUBMAP")
 
+        # Consecutive-node local-SLAM constraints
+        # (optimization_problem_3d.cc odometry/local residuals).
+        op = self._options.optimization_problem
+        for tid in self.nodes.trajectory_ids():
+            if tid in self._frozen_trajectories:
+                continue
+            items = self.nodes.trajectory(tid)
+            for (i1, n1), (i2, n2) in zip(items, items[1:]):
+                inv_t, inv_q = _inverse(n1.local_pose_translation,
+                                        n1.local_pose_rotation)
+                r_t, r_q = _compose(inv_t, inv_q, n2.local_pose_translation,
+                                    n2.local_pose_rotation)
+                a_idx.append(node_slots[NodeId(tid, i1)])
+                b_idx.append(node_slots[NodeId(tid, i2)])
+                rel_t.append(r_t)
+                rel_q.append(r_q)
+                tw.append(op.local_slam_pose_translation_weight)
+                rw.append(op.local_slam_pose_rotation_weight)
+                hub.append(False)
+
         C = len(a_idx)
         cap = 1 << int(np.ceil(np.log2(max(C, 16))))
 

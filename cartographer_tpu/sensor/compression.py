@@ -1,0 +1,66 @@
+"""Lossy point cloud compression for pose-graph node storage.
+
+Reference: sensor/compressed_point_cloud.cc — node clouds held by the pose
+graph are block-compressed to ~4 bits/dim. This implementation groups points
+into 10 cm blocks and stores 8-bit offsets at ~1/3 mm-class precision
+(matching the reference's kPrecision = 0.001 quantization).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+PRECISION = 0.001  # meters, reference kPrecision
+_BLOCK = 256  # offsets per block edge -> 0.256 m blocks at 1 mm
+
+
+class CompressedPointCloud:
+    """Quantized immutable cloud with iteration/decompression."""
+
+    def __init__(self, points: np.ndarray):
+        points = np.asarray(points, np.float64)
+        self._num_points = len(points)
+        if self._num_points == 0:
+            self._block_keys = np.zeros((0, 3), np.int32)
+            self._block_starts = np.zeros(0, np.int64)
+            self._offsets = np.zeros((0, 3), np.uint8)
+            self._order = np.zeros(0, np.int64)
+            return
+        q = np.round(points / PRECISION).astype(np.int64)
+        block = q // _BLOCK
+        offset = (q - block * _BLOCK).astype(np.uint8)
+        # Sort by block for grouped storage.
+        order = np.lexsort((block[:, 2], block[:, 1], block[:, 0]))
+        blocks_sorted = block[order]
+        new_block = np.any(np.diff(blocks_sorted, axis=0) != 0, axis=1)
+        starts = np.concatenate([[0], np.nonzero(new_block)[0] + 1])
+        self._block_keys = blocks_sorted[starts].astype(np.int32)
+        self._block_starts = starts.astype(np.int32)
+        self._offsets = offset[order]
+        self._order = order
+
+    def __len__(self) -> int:
+        return self._num_points
+
+    def decompress(self) -> np.ndarray:
+        """Points in storage order (block-grouped), (n, 3) float64."""
+        if self._num_points == 0:
+            return np.zeros((0, 3))
+        block_of_point = np.zeros(self._num_points, np.int64)
+        block_of_point[self._block_starts] = 1
+        block_idx = np.cumsum(block_of_point) - 1
+        q = (self._block_keys[block_idx].astype(np.int64) * _BLOCK
+             + self._offsets.astype(np.int64))
+        return q.astype(np.float64) * PRECISION
+
+    def decompress_in_input_order(self) -> np.ndarray:
+        out = np.zeros((self._num_points, 3))
+        out[self._order] = self.decompress()
+        return out
+
+    @property
+    def num_bytes(self) -> int:
+        return (self._block_keys.nbytes + self._block_starts.nbytes
+                + self._offsets.nbytes)

@@ -136,11 +136,15 @@ class TestTwoTier:
             tier1.shutdown()
             tier2.shutdown()
 
-    def test_delayed_uplink_recovery(self):
+    def test_delayed_uplink_recovery(self, monkeypatch):
         # Fault injection: tier-1 starts with a dead uplink address; data
         # flows; the uplink comes up later and TryRecovery reconnects
         # (client_server_test.cc:598 DelayedConnectionToUplinkServer).
         import socket
+
+        import cartographer_tpu.cloud.uploader as uploader_mod
+        monkeypatch.setattr(uploader_mod, "_CONNECT_TIMEOUT_SECONDS", 0.5)
+
         with socket.socket() as s:
             s.bind(("localhost", 0))
             reserved_port = s.getsockname()[1]
@@ -150,7 +154,7 @@ class TestTwoTier:
             stub = MapBuilderStub(f"localhost:{tier1.port}")
             tid = stub.add_trajectory_builder(["laser"])
             drive_scans(stub, tid, num=4)
-            time.sleep(1.0)  # results pile up / drop while uplink is down
+            time.sleep(2.0)  # initial connect times out; recovery loop runs
             tier2 = make_server(port=reserved_port)
             tier2.start()
             try:
