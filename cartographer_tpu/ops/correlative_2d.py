@@ -110,6 +110,7 @@ def _scores_mxu(grid, prob, base_cells, mask, nl, chunk):
 
     pad_angles = (-num_angles) % chunk
     cells = jnp.pad(base_cells, ((0, pad_angles), (0, 0), (0, 0)))
+    shifted_bf16 = shifted.astype(jnp.bfloat16)
 
     def score_chunk(cells_chunk):  # (C, N, 2)
         cx = cells_chunk[..., 0]
@@ -117,9 +118,12 @@ def _scores_mxu(grid, prob, base_cells, mask, nl, chunk):
         inb = (cx >= 0) & (cx < s) & (cy >= 0) & (cy < s) & mask[None, :]
         P = jax.vmap(lambda c, v: onehot_rows(c, v, s))(cx, inb)  # (C, N, S)
         Q = jax.vmap(lambda c, v: onehot_rows(c, v, s))(cy, inb)
+        # bf16 count image (exact for small per-cell counts) halves the HBM
+        # traffic of the dominant U read/write — the hot path is
+        # bandwidth-bound, not FLOP-bound.
         U = jnp.einsum("cns,cnr->csr", P, Q,
-                       preferred_element_type=jnp.float32)  # (C, S, S)
-        raw = jnp.dot(U.reshape(U.shape[0], s * s), shifted.T,
+                       preferred_element_type=jnp.bfloat16)  # (C, S, S)
+        raw = jnp.dot(U.reshape(U.shape[0], s * s), shifted_bf16.T,
                       preferred_element_type=jnp.float32)  # (C, W^2)
         oob = num_valid - jnp.sum(inb, axis=-1).astype(jnp.float32)  # (C,)
         return (raw + (UNKNOWN_PROBABILITY * oob)[:, None]) / num_valid

@@ -29,8 +29,9 @@ def lm_solve(
     lambda_up: float = 4.0,
     lambda_down: float = 0.5,
     min_diagonal: float = 1e-6,
+    function_tolerance: float = 1e-7,
 ):
-    """Minimize 0.5 * ||residual_fn(x)||^2 with LM, fixed iteration count.
+    """Minimize 0.5 * ||residual_fn(x)||^2 with LM.
 
     Args:
       residual_fn: x -> residuals (R,). Must be jacfwd-differentiable.
@@ -38,7 +39,11 @@ def lm_solve(
         `retract_fn` is given.
       retract_fn: (x, delta (tangent_dim,)) -> x. Defaults to x + delta.
       tangent_dim: dimension of the tangent space (defaults to len(x0)).
-      num_iterations: static LM iteration count (Ceres max_num_iterations).
+      num_iterations: static max LM iteration count (Ceres max_num_iterations).
+      function_tolerance: relative cost-change convergence threshold (Ceres
+        function_tolerance); the while_loop exits early on convergence, which
+        typically halves the work vs fixed iterations. Pass None/0 for a
+        fixed-count scan.
 
     Returns:
       (x, final_cost, summary) where summary has the initial cost and the
@@ -60,8 +65,7 @@ def lm_solve(
 
     zero = jnp.zeros((tangent_dim,), jnp.float32)
 
-    def step(carry, _):
-        x, lam, current_cost = carry
+    def step(x, lam, current_cost):
         r = residual_fn(x)
         J = jax.jacfwd(local_residual)(zero, x)  # (R, P)
         H = J.T @ J
@@ -74,15 +78,41 @@ def lm_solve(
         x = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, b, a), x, x_new)
         lam = jnp.where(accept, lam * lambda_down, lam * lambda_up)
+        improvement = jnp.where(
+            accept, (current_cost - new_cost) / jnp.maximum(current_cost, 1e-30), 1.0)
         current_cost = jnp.where(accept, new_cost, current_cost)
-        return (x, lam, current_cost), accept
+        return x, lam, current_cost, accept, improvement
 
     c0 = cost(x0)
-    (x, _, final_cost), accepts = jax.lax.scan(
-        step, (x0, jnp.float32(init_lambda), c0), None, length=num_iterations)
+    if not function_tolerance:
+        def scan_step(carry, _):
+            x, lam, current = carry
+            x, lam, current, accept, _ = step(x, lam, current)
+            return (x, lam, current), accept
+
+        (x, _, final_cost), accepts = jax.lax.scan(
+            scan_step, (x0, jnp.float32(init_lambda), c0), None,
+            length=num_iterations)
+        num_accepted = jnp.sum(accepts.astype(jnp.int32))
+    else:
+        def cond(carry):
+            _, _, _, it, converged, _ = carry
+            return (it < num_iterations) & ~converged
+
+        def body(carry):
+            x, lam, current, it, _, accepted = carry
+            x, lam, current, accept, improvement = step(x, lam, current)
+            converged = accept & (improvement < function_tolerance)
+            return (x, lam, current, it + 1, converged,
+                    accepted + accept.astype(jnp.int32))
+
+        x, _, final_cost, _, _, num_accepted = jax.lax.while_loop(
+            cond, body,
+            (x0, jnp.float32(init_lambda), c0, jnp.int32(0),
+             jnp.bool_(False), jnp.int32(0)))
     summary = {
         "initial_cost": c0,
         "final_cost": final_cost,
-        "num_accepted_steps": jnp.sum(accepts.astype(jnp.int32)),
+        "num_accepted_steps": num_accepted,
     }
     return x, final_cost, summary

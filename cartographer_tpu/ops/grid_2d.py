@@ -110,6 +110,7 @@ def insert_range_data(
     insert_free_space: bool = True,
     ray_samples: int = 600,
     method: str = "auto",
+    polar_bins: int = 1024,
 ) -> Grid2D:
     """Insert one scan (already in the grid frame) into the grid.
 
@@ -136,7 +137,7 @@ def insert_range_data(
     if method == "polar":
         return _insert_range_data_polar(
             grid, range_data, hit_probability, miss_probability,
-            insert_free_space)
+            insert_free_space, num_bins=polar_bins)
     s = grid.size
     flat_shape = s * s
 

@@ -88,7 +88,9 @@ class TestCorrelativeMXU:
             grid, pc.points, pc.mask, initial, params, method="gather")
         s_m, p_m = real_time_correlative_match(
             grid, pc.points, pc.mask, initial, params, method="mxu")
-        np.testing.assert_allclose(float(s_g), float(s_m), atol=1e-4)
+        # bf16 count images trade ~1e-3 score precision for half the HBM
+        # traffic; match thresholds operate at 0.05 granularity.
+        np.testing.assert_allclose(float(s_g), float(s_m), atol=2e-3)
         np.testing.assert_allclose(
             np.asarray(p_g.translation), np.asarray(p_m.translation), atol=1e-6)
         assert abs(float(p_g.rotation) - float(p_m.rotation)) < 1e-6
