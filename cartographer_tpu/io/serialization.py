@@ -60,9 +60,15 @@ def _dequantize_cloud(d) -> np.ndarray:
     return _un_nd(d).astype(np.float64) / _CLOUD_QUANT
 
 
-def serialize_state(pose_graph: PoseGraph2D, writer: ProtoStreamWriter,
+def serialize_state(pose_graph, writer: ProtoStreamWriter,
                     include_unfinished_submaps: bool = True) -> None:
-    """WritePbStream equivalent (mapping_state_serialization.cc:31-36)."""
+    """WritePbStream equivalent (mapping_state_serialization.cc:31-36).
+
+    Dispatches on the pose graph type (2D / 3D)."""
+    from cartographer_tpu.mapping.pose_graph_3d import PoseGraph3D
+
+    if isinstance(pose_graph, PoseGraph3D):
+        return _serialize_state_3d(pose_graph, writer, include_unfinished_submaps)
     writer.write(_pack({"type": "header",
                         "format_version": SERIALIZATION_FORMAT_VERSION}))
 
@@ -125,6 +131,153 @@ def serialize_state(pose_graph: PoseGraph2D, writer: ProtoStreamWriter,
     writer.write(_pack({"type": "trajectory_data"}))
 
 
+def _grid3d_record(grid) -> Dict[str, Any]:
+    return {
+        "log_odds": _nd(np.asarray(grid.log_odds, np.float16)),
+        "known": _nd(np.packbits(np.asarray(grid.known))),
+        "shape": list(np.asarray(grid.known).shape),
+        "origin": list(map(float, np.asarray(grid.origin))),
+        "resolution": grid.resolution,
+    }
+
+
+def _un_grid3d(g):
+    import jax.numpy as jnp
+
+    from cartographer_tpu.ops.grid_3d import Grid3D
+
+    known = np.unpackbits(_un_nd(g["known"]))[: int(np.prod(g["shape"]))].reshape(
+        g["shape"]).astype(bool)
+    return Grid3D(
+        log_odds=jnp.asarray(_un_nd(g["log_odds"]).astype(np.float32)),
+        known=jnp.asarray(known),
+        origin=jnp.asarray(g["origin"], jnp.float32),
+        resolution=g["resolution"])
+
+
+def _serialize_state_3d(pose_graph, writer: ProtoStreamWriter,
+                        include_unfinished_submaps: bool = True) -> None:
+    writer.write(_pack({"type": "header", "dim": 3,
+                        "format_version": SERIALIZATION_FORMAT_VERSION}))
+    writer.write(_pack({
+        "type": "pose_graph",
+        "constraints": [{
+            "submap_id": [c.submap_id.trajectory_id, c.submap_id.submap_index],
+            "node_id": [c.node_id.trajectory_id, c.node_id.node_index],
+            "rel_t": list(map(float, c.rel_t)),
+            "rel_q": list(map(float, c.rel_q)),
+            "translation_weight": c.translation_weight,
+            "rotation_weight": c.rotation_weight,
+            "tag": c.tag,
+        } for c in pose_graph.constraints],
+        "submap_poses": [
+            {"id": [t, i], "t": list(map(float, e.global_t)),
+             "q": list(map(float, e.global_q))}
+            for (t, i), e in pose_graph.submap_data.items()],
+        "node_poses": [
+            {"id": [t, i], "t": list(map(float, n.global_t)),
+             "q": list(map(float, n.global_q))}
+            for (t, i), n in pose_graph.nodes.items()],
+    }))
+    writer.write(_pack({"type": "trajectory_builder_options", "options": {}}))
+    for (t, i), entry in pose_graph.submap_data.items():
+        submap = entry.submap
+        if submap.high_grid is None and not include_unfinished_submaps:
+            continue
+        record = {
+            "type": "submap3d", "id": [t, i],
+            "num_range_data": submap.num_range_data,
+            "finished": submap.insertion_finished,
+            "local_pose_translation": list(map(float, submap.local_pose_translation)),
+            "local_pose_rotation": list(map(float, submap.local_pose_rotation)),
+        }
+        if submap.high_grid is not None:
+            record["high_grid"] = _grid3d_record(submap.high_grid)
+            record["low_grid"] = _grid3d_record(submap.low_grid)
+            record["histogram"] = _nd(np.asarray(submap.histogram, np.float32))
+        writer.write(_pack(record))
+    for (t, i), node in pose_graph.nodes.items():
+        writer.write(_pack({
+            "type": "node3d", "id": [t, i], "time": node.time,
+            "gravity_alignment": list(map(float, node.gravity_alignment)),
+            "local_pose_translation": list(map(float, node.local_pose_translation)),
+            "local_pose_rotation": list(map(float, node.local_pose_rotation)),
+            "high_cloud": _quantize_cloud(node.high_res_cloud),
+            "low_cloud": _quantize_cloud(node.low_res_cloud),
+            "histogram": _nd(np.asarray(node.scan_histogram, np.float32)),
+        }))
+    writer.write(_pack({"type": "trajectory_data"}))
+
+
+def _load_state_3d(records, pose_graph, trajectory_remapping, frozen):
+    from cartographer_tpu.mapping.pose_graph_3d import (
+        Constraint3D,
+        SubmapDataEntry3D,
+        TrajectoryNode3D,
+    )
+    from cartographer_tpu.mapping.submap_3d import Submap3D
+
+    remap: Dict[int, int] = dict(trajectory_remapping or {})
+    used = set(pose_graph.nodes.trajectory_ids()) | set(
+        pose_graph.submap_data.trajectory_ids())
+    next_id = (max(used) + 1) if used else 0
+
+    def map_traj(t: int) -> int:
+        nonlocal next_id
+        if t not in remap:
+            remap[t] = next_id
+            next_id += 1
+        return remap[t]
+
+    pg_record = next(r for r in records if r["type"] == "pose_graph")
+    submap_poses = {tuple(e["id"]): e for e in pg_record["submap_poses"]}
+    node_poses = {tuple(e["id"]): e for e in pg_record["node_poses"]}
+
+    for r in records:
+        if r["type"] == "submap3d":
+            t, i = r["id"]
+            nt = map_traj(t)
+            submap = Submap3D(
+                local_pose_translation=np.asarray(r["local_pose_translation"]),
+                local_pose_rotation=np.asarray(r["local_pose_rotation"]),
+                num_range_data=r["num_range_data"],
+                insertion_finished=r["finished"],
+                high_grid=_un_grid3d(r["high_grid"]) if "high_grid" in r else None,
+                low_grid=_un_grid3d(r["low_grid"]) if "low_grid" in r else None,
+                histogram=_un_nd(r["histogram"]) if "histogram" in r else None)
+            sp = submap_poses[(t, i)]
+            pose_graph.submap_data.insert(SubmapId(nt, i), SubmapDataEntry3D(
+                submap=submap, global_t=np.asarray(sp["t"]),
+                global_q=np.asarray(sp["q"]), finished=r["finished"]))
+        elif r["type"] == "node3d":
+            t, i = r["id"]
+            nt = map_traj(t)
+            npose = node_poses[(t, i)]
+            pose_graph.nodes.insert(NodeId(nt, i), TrajectoryNode3D(
+                time=r["time"],
+                gravity_alignment=np.asarray(r["gravity_alignment"]),
+                high_res_cloud=_dequantize_cloud(r["high_cloud"]),
+                low_res_cloud=_dequantize_cloud(r["low_cloud"]),
+                scan_histogram=_un_nd(r["histogram"]),
+                local_pose_translation=np.asarray(r["local_pose_translation"]),
+                local_pose_rotation=np.asarray(r["local_pose_rotation"]),
+                global_t=np.asarray(npose["t"]),
+                global_q=np.asarray(npose["q"])))
+    for c in pg_record["constraints"]:
+        st, si = c["submap_id"]
+        nt, ni = c["node_id"]
+        pose_graph.constraints.append(Constraint3D(
+            submap_id=SubmapId(map_traj(st), si),
+            node_id=NodeId(map_traj(nt), ni),
+            rel_t=np.asarray(c["rel_t"]), rel_q=np.asarray(c["rel_q"]),
+            translation_weight=c["translation_weight"],
+            rotation_weight=c["rotation_weight"], tag=c["tag"]))
+    if frozen:
+        for t in set(remap.values()):
+            pose_graph.freeze_trajectory(t)
+    return remap
+
+
 def _migrate_v1(records: List[dict]) -> List[dict]:
     """v1 -> v2 migration hook (serialization_format_migration.cc): v1 lacked
     per-submap finished flags; default them."""
@@ -134,7 +287,7 @@ def _migrate_v1(records: List[dict]) -> List[dict]:
     return records
 
 
-def load_state(reader: ProtoStreamReader, pose_graph: PoseGraph2D,
+def load_state(reader: ProtoStreamReader, pose_graph,
                trajectory_remapping: Optional[Dict[int, int]] = None,
                frozen: bool = False) -> Dict[int, int]:
     """MapBuilder::LoadState equivalent (map_builder.cc:227-395): stream in
@@ -150,6 +303,8 @@ def load_state(reader: ProtoStreamReader, pose_graph: PoseGraph2D,
         records = _migrate_v1(records)
     elif version != SERIALIZATION_FORMAT_VERSION:
         raise ValueError(f"unsupported format version {version}")
+    if records[0].get("dim") == 3:
+        return _load_state_3d(records, pose_graph, trajectory_remapping, frozen)
 
     remap: Dict[int, int] = dict(trajectory_remapping or {})
     used = set(pose_graph.nodes.trajectory_ids()) | set(

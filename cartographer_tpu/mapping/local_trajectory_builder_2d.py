@@ -122,6 +122,25 @@ class LocalTrajectoryBuilder2D:
         self._transform_rd_fn = jax.jit(
             lambda rd, pose_vec: rd.transform(Rigid2.from_vector(pose_vec)))
 
+        # Metrics (RegisterMetrics, local_trajectory_builder_2d.cc:334-368).
+        from cartographer_tpu import metrics as m
+        factory = m.GLOBAL_FACTORY
+        self._metric_latency = factory.new_gauge_family(
+            "mapping_2d_local_trajectory_builder_latency",
+            "Duration from first incoming point to last processed point [s]").add({})
+        self._metric_real_time_ratio = factory.new_gauge_family(
+            "mapping_2d_local_trajectory_builder_real_time_ratio",
+            "sensor time per wall time, multiplied by 100").add({})
+        self._metric_scans = factory.new_counter_family(
+            "mapping_2d_local_trajectory_builder_scans",
+            "Number of processed scans").add({})
+        self._metric_score = factory.new_histogram_family(
+            "mapping_2d_scan_matcher_correlative_score",
+            "Real-time correlative scan matcher scores",
+            [0.1 * i for i in range(1, 10)]).add({})
+        self._last_wall_time = None
+        self._last_sensor_time = None
+
     # ------------------------------------------------------------------ sensors
 
     def add_imu_data(self, imu_data: ImuData) -> None:
@@ -246,6 +265,17 @@ class LocalTrajectoryBuilder2D:
                 insertion_submaps=list(self._active_submaps.submaps),
                 finished_submaps=finished,
             )
+        import time as _time
+        wall = _time.monotonic()
+        if self._last_wall_time is not None and wall > self._last_wall_time:
+            sensor_dt = (data.time - self._last_sensor_time) * 1e-6
+            self._metric_real_time_ratio.set(
+                100.0 * sensor_dt / (wall - self._last_wall_time))
+        self._last_wall_time = wall
+        self._last_sensor_time = data.time
+        self._metric_scans.increment()
+        self._metric_latency.set(float(t1 - time_first) * 1e-6)
+
         return MatchingResult(
             time=data.time,
             local_pose_translation=est_t,

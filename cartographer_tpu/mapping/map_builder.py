@@ -75,12 +75,13 @@ class GlobalTrajectoryBuilder:
 
     def add_odometry_data(self, odometry_data: OdometryData) -> None:
         self._local.add_odometry_data(odometry_data)
+        self._pose_graph.add_odometry_data(self.trajectory_id, odometry_data)
 
     def add_fixed_frame_pose_data(self, data: FixedFramePoseData) -> None:
-        pass  # wired into the optimization problem in a later stage
+        self._pose_graph.add_fixed_frame_pose_data(self.trajectory_id, data)
 
     def add_landmark_data(self, data: LandmarkData) -> None:
-        pass  # wired into the optimization problem in a later stage
+        self._pose_graph.add_landmark_data(self.trajectory_id, data)
 
     def finish(self):
         return self._local.finish()

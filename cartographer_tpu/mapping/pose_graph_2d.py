@@ -82,6 +82,13 @@ class PoseGraph2D:
         self._connected: Dict[int, int] = {}  # union-find parent
         self._global_optimization_callbacks = []
         self._trimmers: List = []
+        # Sensor streams for the optimization problem
+        # (optimization_problem_2d.cc odometry / fixed-frame / landmarks).
+        from cartographer_tpu.sensor.map_by_time import MapByTime
+        self._odometry_data: MapByTime = MapByTime()
+        self._fixed_frame_data: MapByTime = MapByTime()
+        self._landmark_observations: List = []  # (trajectory_id, LandmarkData)
+        self.landmark_poses: Dict[str, np.ndarray] = {}
 
     # ------------------------------------------------------------ connectivity
 
@@ -194,6 +201,52 @@ class PoseGraph2D:
             ids.append(SubmapId(trajectory_id, index))
         return ids
 
+    # ------------------------------------------------------------ sensor intake
+
+    def add_odometry_data(self, trajectory_id: int, odometry_data) -> None:
+        """PoseGraph2D::AddOdometryData -> OptimizationProblem queue."""
+        self._odometry_data.append(trajectory_id, odometry_data.time, odometry_data)
+
+    def add_fixed_frame_pose_data(self, trajectory_id: int, data) -> None:
+        if data.pose_translation is None:
+            return  # invalid fix
+        self._fixed_frame_data.append(trajectory_id, data.time, data)
+
+    def add_landmark_data(self, trajectory_id: int, data) -> None:
+        self._landmark_observations.append((trajectory_id, data))
+
+    def _odometry_relative(self, trajectory_id: int, t1, t2):
+        """Interpolated odometry relative pose [x, y, theta] between node
+        times, or None (CalculateOdometryBetweenNodes)."""
+        traj = self._odometry_data.trajectory(trajectory_id)
+        if len(traj) < 2:
+            return None
+
+        def lookup(t):
+            import bisect
+            times = [e[0] for e in traj]
+            if t < times[0] or t > times[-1]:
+                return None
+            i = bisect.bisect_left(times, t)
+            if times[i] == t or i == 0:
+                d = traj[min(i, len(traj) - 1)][1]
+                return np.array([d.pose_translation[0], d.pose_translation[1],
+                                 nquat.get_yaw(d.pose_rotation)])
+            a, b = traj[i - 1][1], traj[i][1]
+            f = (t - traj[i - 1][0]) / (traj[i][0] - traj[i - 1][0])
+            ta = np.array([a.pose_translation[0], a.pose_translation[1],
+                           nquat.get_yaw(a.pose_rotation)])
+            tb = np.array([b.pose_translation[0], b.pose_translation[1],
+                           nquat.get_yaw(b.pose_rotation)])
+            out = ta + f * (tb - ta)
+            return out
+
+        p1 = lookup(t1)
+        p2 = lookup(t2)
+        if p1 is None or p2 is None:
+            return None
+        return _compose2d(_inverse2d(p1), p2)
+
     # ------------------------------------------------------------ loop closure
 
     def _compute_constraint(self, node_id: NodeId, submap_id: SubmapId) -> None:
@@ -271,10 +324,9 @@ class PoseGraph2D:
             rws.append(c.rotation_weight)
             hubers.append(c.tag == "INTER_SUBMAP")
 
-        # Consecutive-node constraints from local SLAM (and odometry when
-        # available) — optimization_problem_2d.cc:304-349: without them the
-        # relative motion between nodes is only constrained through shared
-        # submaps.
+        # Consecutive-node constraints from local SLAM and odometry —
+        # optimization_problem_2d.cc:304-349: without them the relative
+        # motion between nodes is only constrained through shared submaps.
         op = self._options.optimization_problem
         for tid in self.nodes.trajectory_ids():
             if tid in self._frozen_trajectories:
@@ -288,6 +340,85 @@ class PoseGraph2D:
                 rels.append(_compose2d(_inverse2d(p1), p2))
                 tws.append(op.local_slam_pose_translation_weight)
                 rws.append(op.local_slam_pose_rotation_weight)
+                hubers.append(False)
+                odo = self._odometry_relative(tid, n1.time, n2.time)
+                if odo is not None:
+                    a_idx.append(node_slots[NodeId(tid, i1)])
+                    b_idx.append(node_slots[NodeId(tid, i2)])
+                    rels.append(odo)
+                    tws.append(op.odometry_translation_weight)
+                    rws.append(op.odometry_rotation_weight)
+                    hubers.append(False)
+
+        # Fixed-frame (GPS) constraints: unary anchors expressed against a
+        # fixed world slot (optimization_problem_2d.cc:351-389). The world
+        # slot is appended fixed at identity; rotation weight 0 when the fix
+        # carries no orientation.
+        world_slot = None
+        for tid in self.nodes.trajectory_ids():
+            traj_ff = self._fixed_frame_data.trajectory(tid)
+            if not traj_ff:
+                continue
+            ff_times = [t for t, _ in traj_ff]
+            import bisect as _bisect
+            for nindex, node in self.nodes.trajectory(tid):
+                i = _bisect.bisect_left(ff_times, node.time)
+                if i >= len(traj_ff) or (i == 0 and ff_times[0] > node.time):
+                    continue
+                # Nearest fix within 1 second.
+                cand = min(
+                    (abs(ff_times[j] - node.time), j)
+                    for j in (max(i - 1, 0), min(i, len(traj_ff) - 1)))
+                if cand[0] > 1_000_000:
+                    continue
+                fix = traj_ff[cand[1]][1]
+                if world_slot is None:
+                    world_slot = len(poses)
+                    poses.append(np.zeros(3))
+                    fixed.append(True)
+                yaw = (nquat.get_yaw(fix.pose_rotation)
+                       if fix.pose_rotation is not None else 0.0)
+                a_idx.append(world_slot)
+                b_idx.append(node_slots[NodeId(tid, nindex)])
+                rels.append(np.array([fix.pose_translation[0],
+                                      fix.pose_translation[1], yaw]))
+                tws.append(op.fixed_frame_pose_translation_weight)
+                rws.append(op.fixed_frame_pose_rotation_weight
+                           if fix.pose_rotation is not None else 0.0)
+                hubers.append(op.fixed_frame_pose_use_tolerant_loss)
+
+        # Landmark constraints: one extra slot per landmark id, observation
+        # = landmark pose in the tracking frame of the nearest node
+        # (landmark_cost_function_2d.h; nearest-node instead of the
+        # reference's time interpolation between adjacent nodes).
+        landmark_slots: Dict[str, int] = {}
+        for tid, data in self._landmark_observations:
+            node_items = self.nodes.trajectory(tid)
+            if not node_items:
+                continue
+            nearest_index, nearest_node = min(
+                node_items, key=lambda kv: abs(kv[1].time - data.time))
+            if abs(nearest_node.time - data.time) > 1_000_000:
+                continue
+            for obs in data.landmark_observations:
+                if obs.id not in landmark_slots:
+                    landmark_slots[obs.id] = len(poses)
+                    node_pose = nearest_node.global_pose_2d
+                    obs2d = np.array([
+                        obs.landmark_to_tracking_transform_translation[0],
+                        obs.landmark_to_tracking_transform_translation[1],
+                        nquat.get_yaw(obs.landmark_to_tracking_transform_rotation)])
+                    poses.append(_compose2d(node_pose, obs2d))
+                    fixed.append(False)
+                obs2d = np.array([
+                    obs.landmark_to_tracking_transform_translation[0],
+                    obs.landmark_to_tracking_transform_translation[1],
+                    nquat.get_yaw(obs.landmark_to_tracking_transform_rotation)])
+                a_idx.append(node_slots[NodeId(tid, nearest_index)])
+                b_idx.append(landmark_slots[obs.id])
+                rels.append(obs2d)
+                tws.append(obs.translation_weight)
+                rws.append(obs.rotation_weight)
                 hubers.append(False)
 
         C = len(a_idx)
@@ -318,6 +449,8 @@ class PoseGraph2D:
             self.submap_data[sid].global_pose_2d = solved[slot].astype(np.float64)
         for nid, slot in node_slots.items():
             self.nodes[nid].global_pose_2d = solved[slot].astype(np.float64)
+        for lid, slot in landmark_slots.items():
+            self.landmark_poses[lid] = solved[slot].astype(np.float64)
         self._num_nodes_since_last_optimization = 0
         self._run_trimmers()
         for cb in self._global_optimization_callbacks:

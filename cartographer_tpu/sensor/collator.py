@@ -96,13 +96,29 @@ class OrderedMultiQueue:
                 return
 
 
+def make_ordered_multi_queue():
+    """OrderedMultiQueue factory: the native C++ engine when built (set
+    CARTO_TPU_NATIVE=0 to force the Python implementation)."""
+    import os
+
+    if os.environ.get("CARTO_TPU_NATIVE", "1") != "0":
+        try:
+            from cartographer_tpu import runtime
+
+            if runtime.available():
+                return runtime.NativeOrderedMultiQueue()
+        except Exception:  # noqa: BLE001 — fall back to Python on any failure
+            pass
+    return OrderedMultiQueue()
+
+
 class Collator:
     """One OrderedMultiQueue across ALL trajectories (sensor::Collator):
     deterministic global time ordering at the cost of cross-trajectory
     blocking."""
 
     def __init__(self) -> None:
-        self._queue = OrderedMultiQueue()
+        self._queue = make_ordered_multi_queue()
         self._queue_keys: Dict[int, List[QueueKey]] = {}
 
     def add_trajectory(self, trajectory_id: int, expected_sensor_ids,
@@ -141,7 +157,7 @@ class TrajectoryCollator:
                        callback: Callable) -> None:
         if trajectory_id in self._queues:
             raise KeyError(f"trajectory {trajectory_id} already added")
-        q = OrderedMultiQueue()
+        q = make_ordered_multi_queue()
         self._queues[trajectory_id] = q
         for sensor_id in expected_sensor_ids:
             key = QueueKey(trajectory_id, sensor_id)
