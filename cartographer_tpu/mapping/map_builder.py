@@ -124,9 +124,11 @@ class GlobalTrajectoryBuilder3D:
 
     def add_imu_data(self, imu_data: ImuData) -> None:
         self._local.add_imu_data(imu_data)
+        self._pose_graph.add_imu_data(self.trajectory_id, imu_data)
 
     def add_odometry_data(self, odometry_data: OdometryData) -> None:
         self._local.add_odometry_data(odometry_data)
+        self._pose_graph.add_odometry_data(self.trajectory_id, odometry_data)
 
     def add_fixed_frame_pose_data(self, data: FixedFramePoseData) -> None:
         pass

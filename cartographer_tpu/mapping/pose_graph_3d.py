@@ -110,6 +110,52 @@ class PoseGraph3D:
         self._frozen_trajectories: Set[int] = set()
         self._connected: Dict[int, int] = {}
         self._match_fn = None  # jitted lazily per grid shape
+        from cartographer_tpu.sensor.map_by_time import MapByTime
+        self._imu_data: MapByTime = MapByTime()
+        self._odometry_data: MapByTime = MapByTime()
+
+    # ---------------------------------------------------------- sensor intake
+
+    def add_imu_data(self, trajectory_id: int, imu_data) -> None:
+        """PoseGraph3D::AddImuData -> optimization problem IMU queue."""
+        try:
+            self._imu_data.append(trajectory_id, imu_data.time, imu_data)
+        except ValueError:
+            pass  # duplicate/out-of-order IMU timestamps are dropped
+
+    def add_odometry_data(self, trajectory_id: int, odometry_data) -> None:
+        try:
+            self._odometry_data.append(trajectory_id, odometry_data.time,
+                                       odometry_data)
+        except ValueError:
+            pass
+
+    def _integrate_imu(self, trajectory_id: int, t_start, t_end):
+        """Integrate gyro + accelerometer between two times.
+
+        Returns (delta_q (4,), delta_v (3,) in the t_start body frame,
+        dt seconds) or None without IMU coverage — the discrete counterpart
+        of mapping/internal/3d/imu_integration.h.
+        """
+        traj = self._imu_data.trajectory(trajectory_id)
+        if len(traj) < 2 or traj[0][0] > t_start or traj[-1][0] < t_end:
+            return None
+        q = np.array([1.0, 0, 0, 0])
+        v = np.zeros(3)
+        prev_t = t_start
+        for time, sample in traj:
+            if time <= t_start:
+                continue
+            t = min(time, t_end)
+            dt = (t - prev_t) * 1e-6
+            if dt > 0:
+                v = v + nquat.rotate(q, sample.linear_acceleration) * dt
+                q = nquat.normalize(nquat.multiply(
+                    q, nquat.from_axis_angle(sample.angular_velocity * dt)))
+            prev_t = t
+            if time >= t_end:
+                break
+        return q, v, (t_end - t_start) * 1e-6
 
     # ---------------------------------------------------------- connectivity
 
@@ -304,9 +350,11 @@ class PoseGraph3D:
             rw.append(c.rotation_weight)
             hub.append(c.tag == "INTER_SUBMAP")
 
-        # Consecutive-node local-SLAM constraints
-        # (optimization_problem_3d.cc odometry/local residuals).
+        # Consecutive-node local-SLAM constraints + IMU rotation constraints
+        # (optimization_problem_3d.cc odometry/local/RotationCostFunction3D),
+        # and acceleration triplets (AccelerationCostFunction3D).
         op = self._options.optimization_problem
+        acc_i, acc_j, acc_k, acc_dv, acc_dt1, acc_dt2 = [], [], [], [], [], []
         for tid in self.nodes.trajectory_ids():
             if tid in self._frozen_trajectories:
                 continue
@@ -323,6 +371,37 @@ class PoseGraph3D:
                 tw.append(op.local_slam_pose_translation_weight)
                 rw.append(op.local_slam_pose_rotation_weight)
                 hub.append(False)
+                imu = self._integrate_imu(tid, n1.time, n2.time)
+                if imu is not None:
+                    # Gyro-integrated relative rotation: zero translation
+                    # weight (RotationCostFunction3D).
+                    a_idx.append(node_slots[NodeId(tid, i1)])
+                    b_idx.append(node_slots[NodeId(tid, i2)])
+                    rel_t.append(np.zeros(3))
+                    rel_q.append(imu[0])
+                    tw.append(0.0)
+                    rw.append(op.rotation_weight)
+                    hub.append(False)
+            # Acceleration triplets over consecutive node triples.
+            for (i1, n1), (i2, n2), (i3, n3) in zip(items, items[1:], items[2:]):
+                imu12 = self._integrate_imu(tid, n1.time, n3.time)
+                if imu12 is None:
+                    continue
+                # delta_v between interval midpoints, integrated in frame of
+                # node 2 (approximated by the full-span integral).
+                mid = self._integrate_imu(tid, n1.time, n2.time)
+                full = self._integrate_imu(tid, n1.time, n3.time)
+                if mid is None or full is None:
+                    continue
+                dv_frame1 = full[1] - mid[1]  # velocity gained in (t1..t3)-(t1..t2)
+                # Rotate from frame of node1 to frame of node2.
+                dv = nquat.rotate(nquat.conjugate(mid[0]), dv_frame1)
+                acc_i.append(node_slots[NodeId(tid, i1)])
+                acc_j.append(node_slots[NodeId(tid, i2)])
+                acc_k.append(node_slots[NodeId(tid, i3)])
+                acc_dv.append(dv)
+                acc_dt1.append(max((n2.time - n1.time) * 1e-6, 1e-3))
+                acc_dt2.append(max((n3.time - n2.time) * 1e-6, 1e-3))
 
         C = len(a_idx)
         cap = 1 << int(np.ceil(np.log2(max(C, 16))))
@@ -334,6 +413,19 @@ class PoseGraph3D:
 
         rel_q_pad = pad(rel_q, (cap, 4), np.float32)
         rel_q_pad[C:, 0] = 1.0
+        A = len(acc_i)
+        acc_kwargs = {}
+        if A > 0:
+            acap = 1 << int(np.ceil(np.log2(max(A, 8))))
+            acc_kwargs = dict(
+                acc_i=jnp.asarray(pad(acc_i, (acap,), np.int32)),
+                acc_j=jnp.asarray(pad(acc_j, (acap,), np.int32)),
+                acc_k=jnp.asarray(pad(acc_k, (acap,), np.int32)),
+                acc_delta_v=jnp.asarray(pad(acc_dv, (acap, 3), np.float32)),
+                acc_dt1=jnp.asarray(pad(acc_dt1, (acap,), np.float32) + 1e-3),
+                acc_dt2=jnp.asarray(pad(acc_dt2, (acap,), np.float32) + 1e-3),
+                acc_weight=jnp.full((acap,), op.acceleration_weight, jnp.float32),
+                acc_valid=jnp.asarray(np.arange(acap) < A))
         problem = SpaProblem3D(
             translations=jnp.asarray(np.asarray(ts, np.float32)),
             rotations=jnp.asarray(np.asarray(qs, np.float32)),
@@ -345,7 +437,8 @@ class PoseGraph3D:
             rot_weight=jnp.asarray(pad(rw, (cap,), np.float32)),
             use_huber=jnp.asarray(pad(hub, (cap,), bool)),
             valid=jnp.asarray(np.arange(cap) < C),
-            fixed=jnp.asarray(np.asarray(fixed, bool)))
+            fixed=jnp.asarray(np.asarray(fixed, bool)),
+            **acc_kwargs)
         t_out, q_out = solve_spa_3d(
             problem, num_iterations=num_iterations,
             huber_scale=self._options.optimization_problem.huber_scale,

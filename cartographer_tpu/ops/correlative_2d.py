@@ -163,7 +163,16 @@ def real_time_correlative_match(
     deltas, angle_valid, base_cells = _candidate_geometry(
         grid, points, mask, initial_pose, params)
 
-    if method == "mxu":
+    if method == "pallas":
+        from cartographer_tpu.ops.pallas_correlative import pallas_correlative_scores
+
+        padded = jnp.pad(prob, nl)
+        raw_sum, inb_count = pallas_correlative_scores(
+            padded, base_cells, mask, nl)
+        num_valid = jnp.maximum(jnp.sum(mask), 1).astype(jnp.float32)
+        oob = num_valid - inb_count
+        raw = (raw_sum + (UNKNOWN_PROBABILITY * oob)[:, None, None]) / num_valid
+    elif method == "mxu":
         raw = _scores_mxu(grid, prob, base_cells, mask, nl, params.angle_chunk)
     else:
         raw = _scores_gather(grid, prob, base_cells, mask, nl)

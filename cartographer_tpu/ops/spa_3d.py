@@ -26,7 +26,9 @@ from cartographer_tpu.transform import quaternion as quat
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SpaProblem3D:
-    """V pose slots ([t (3), q (4)]) and C two-slot constraints."""
+    """V pose slots ([t (3), q (4)]), C two-slot constraints, and optional
+    A acceleration triplets (IMU preintegration residuals,
+    optimization_problem_3d.cc:365-446)."""
 
     translations: jnp.ndarray  # (V, 3)
     rotations: jnp.ndarray  # (V, 4)
@@ -39,6 +41,34 @@ class SpaProblem3D:
     use_huber: jnp.ndarray  # (C,) bool
     valid: jnp.ndarray  # (C,) bool
     fixed: jnp.ndarray  # (V,) bool
+    # Acceleration triplets (i, j, k) = consecutive nodes: the IMU-measured
+    # middle-frame delta velocity vs the pose second difference
+    # (AccelerationCostFunction3D). Empty arrays (A=0) disable the term.
+    acc_i: jnp.ndarray = None  # (A,)
+    acc_j: jnp.ndarray = None  # (A,)
+    acc_k: jnp.ndarray = None  # (A,)
+    acc_delta_v: jnp.ndarray = None  # (A, 3) integrated IMU delta velocity in frame j
+    acc_dt1: jnp.ndarray = None  # (A,) seconds i -> j
+    acc_dt2: jnp.ndarray = None  # (A,) seconds j -> k
+    acc_weight: jnp.ndarray = None  # (A,)
+    acc_valid: jnp.ndarray = None  # (A,) bool
+
+
+def acceleration_residual_3d(ti, tj, tk, qj, delta_v, dt1, dt2, weight,
+                             gravity_constant=9.806) -> jnp.ndarray:
+    """AccelerationCostFunction3D: the world-frame velocity change between
+    the (i,j) and (j,k) intervals equals the IMU-measured specific-force
+    integral (delta_v, in frame j) minus world gravity:
+        second_diff = R_j * delta_v - g * z_world * dt_sum
+    Residual expressed in frame j. (The reference additionally learns a
+    per-trajectory gravity constant and IMU calibration quaternion; here
+    gravity is the configured constant and calibration is identity.)"""
+    dt_sum = 0.5 * (dt1 + dt2)
+    second_diff = (tk - tj) / dt2 - (tj - ti) / dt1
+    z_world = jnp.array([0.0, 0.0, 1.0])
+    lhs = quat.rotate(quat.conjugate(qj),
+                      second_diff + gravity_constant * dt_sum * z_world)
+    return weight * (lhs - delta_v)
 
 
 def constraint_residual_3d(ta, qa, tb, qb, rel_t, rel_q, tw, rw) -> jnp.ndarray:
@@ -54,9 +84,10 @@ def constraint_residual_3d(ta, qa, tb, qb, rel_t, rel_q, tw, rw) -> jnp.ndarray:
 
 def solve_spa_3d(problem: SpaProblem3D, num_iterations: int = 50,
                  huber_scale: float = 1e1, damping: float = 1e-6,
-                 fix_z: bool = False):
+                 fix_z: bool = False, gravity_constant: float = 9.806):
     """Returns (translations (V, 3), rotations (V, 4)) optimized."""
     V = problem.translations.shape[0]
+    has_acc = problem.acc_i is not None
 
     # Normalize weights for f32 conditioning (argmin-invariant; Huber
     # threshold rescales by the same factor).
@@ -107,6 +138,42 @@ def solve_spa_3d(problem: SpaProblem3D, num_iterations: int = 50,
         H = jnp.zeros((V * 6, V * 6), jnp.float32)
         H = H.at[cols[:, :, None], cols[:, None, :]].add(JtJ)
         g = jnp.zeros((V * 6,), jnp.float32).at[cols].add(Jtr)
+
+        if has_acc:
+            aw = problem.acc_weight / wmax
+
+            def acc_local(d_i, d_j, d_k, ti, tj, tk, qj, dv, dt1, dt2, w):
+                ti2 = ti + d_i[0:3]
+                tj2 = tj + d_j[0:3]
+                tk2 = tk + d_k[0:3]
+                qj2 = quat.normalize(
+                    quat.multiply(qj, quat.from_axis_angle(d_j[3:6])))
+                return acceleration_residual_3d(
+                    ti2, tj2, tk2, qj2, dv, dt1, dt2, w, gravity_constant)
+
+            axes = (None, None, None, 0, 0, 0, 0, 0, 0, 0, 0)
+            ti_, tj_, tk_ = (t[problem.acc_i], t[problem.acc_j], t[problem.acc_k])
+            qj_ = q[problem.acc_j]
+            args = (ti_, tj_, tk_, qj_, problem.acc_delta_v,
+                    problem.acc_dt1, problem.acc_dt2, aw)
+            ra = jax.vmap(acc_local, in_axes=axes)(zero6, zero6, zero6, *args)
+            wv = problem.acc_valid.astype(jnp.float32)[:, None]
+            ra = ra * wv
+            Ji = jax.vmap(jax.jacfwd(acc_local, argnums=0), in_axes=axes)(
+                zero6, zero6, zero6, *args) * wv[:, :, None]
+            Jj = jax.vmap(jax.jacfwd(acc_local, argnums=1), in_axes=axes)(
+                zero6, zero6, zero6, *args) * wv[:, :, None]
+            Jk = jax.vmap(jax.jacfwd(acc_local, argnums=2), in_axes=axes)(
+                zero6, zero6, zero6, *args) * wv[:, :, None]
+            Ja3 = jnp.concatenate([Ji, Jj, Jk], axis=-1)  # (A, 3, 18)
+            JtJ3 = jnp.einsum("cri,crj->cij", Ja3, Ja3)
+            Jtr3 = jnp.einsum("cri,cr->ci", Ja3, ra)
+            cols3 = jnp.concatenate(
+                [problem.acc_i[:, None] * 6 + jnp.arange(6)[None, :],
+                 problem.acc_j[:, None] * 6 + jnp.arange(6)[None, :],
+                 problem.acc_k[:, None] * 6 + jnp.arange(6)[None, :]], axis=1)
+            H = H.at[cols3[:, :, None], cols3[:, None, :]].add(JtJ3)
+            g = g.at[cols3].add(Jtr3)
 
         free_flat = jnp.repeat(free, 6)
         if fix_z:
