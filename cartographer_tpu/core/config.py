@@ -217,6 +217,9 @@ class TrajectoryBuilder3DOptions:
     pose_extrapolator: PoseExtrapolatorOptions = _d(PoseExtrapolatorOptions)
     submaps: SubmapsOptions3D = _d(SubmapsOptions3D)
     use_intensities: bool = False
+    # Fork feature (local_trajectory_builder_3d.cc:714-719): skip scan frames
+    # whose gravity-removed IMU acceleration exceeds this [m/s^2]; 0 = off.
+    max_accel_skip: float = 0.0
     tpu: TpuOptions3D = _d(TpuOptions3D)
 
 

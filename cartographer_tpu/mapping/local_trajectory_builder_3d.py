@@ -171,6 +171,15 @@ class LocalTrajectoryBuilder3D:
     def _process_scan(self, data: TimedPointCloudData) -> Optional[MatchingResult3D]:
         if self._extrapolator is None:
             return None  # 3D requires IMU before any scan is usable
+        # Fork feature: skip frames under high acceleration (gravity-removed
+        # accel magnitude above threshold; local_trajectory_builder_3d.cc
+        # :714-719) — scan matching against a blurred prediction hurts more
+        # than a dropped frame.
+        if (self._options.max_accel_skip > 0.0
+                and self._last_imu_accel is not None):
+            accel = abs(float(np.linalg.norm(self._last_imu_accel)) - 9.806)
+            if accel > self._options.max_accel_skip:
+                return None
         last_pose_time = self._extrapolator.get_last_pose_time()
         if data.time < last_pose_time:
             return None
