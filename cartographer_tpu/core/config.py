@@ -343,6 +343,10 @@ class MapBuilderOptions:
     num_background_threads: int = 4
     pose_graph: PoseGraphOptions = _d(PoseGraphOptions)
     collate_by_trajectory: bool = False
+    # TPU build: run loop-closure searches on num_background_threads while
+    # the frontend continues (reference P2 pipelining). Off by default for
+    # deterministic constraint sampling.
+    async_constraint_search: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -72,6 +72,10 @@ class ConstraintBuilder2D:
         self._grids: Dict[SubmapId, Grid2D] = {}
         self._pending: List[Constraint] = []
         self.score_histogram = Histogram()
+        import threading
+        # Guards the sampler/pyramid-cache state when constraint searches run
+        # on background threads (PoseGraph2D async mode).
+        self._lock = threading.Lock()
 
         # Separate compilations for the local window and full-submap window.
         self._match_local = jax.jit(
@@ -81,12 +85,13 @@ class ConstraintBuilder2D:
     # ------------------------------------------------------------------ cache
 
     def _matcher_for(self, submap_id: SubmapId, grid: Grid2D):
-        if submap_id not in self._pyramids:
-            depth = self._bnb_params.branch_and_bound_depth
-            self._pyramids[submap_id] = build_precomputation_pyramid(
-                grid.probability(), depth)
-            self._grids[submap_id] = grid
-        return self._pyramids[submap_id], self._grids[submap_id]
+        with self._lock:
+            if submap_id not in self._pyramids:
+                depth = self._bnb_params.branch_and_bound_depth
+                self._pyramids[submap_id] = build_precomputation_pyramid(
+                    grid.probability(), depth)
+                self._grids[submap_id] = grid
+            return self._pyramids[submap_id], self._grids[submap_id]
 
     def remove_submap(self, submap_id: SubmapId) -> None:
         self._pyramids.pop(submap_id, None)
@@ -97,23 +102,24 @@ class ConstraintBuilder2D:
 
     def maybe_add_constraint(
         self, submap_id: SubmapId, grid: Grid2D, node_id: NodeId,
-        node_points: np.ndarray, initial_relative_pose: np.ndarray,
+        node_points: np.ndarray, initial_grid_pose: np.ndarray,
+        relative_distance: float = 0.0,
     ) -> Optional[Constraint]:
         """Local-window constraint search (constraint_builder_2d.cc:77-111).
 
-        `initial_relative_pose` is the node pose in the submap frame from the
-        current global estimates; gated by max_constraint_distance and the
-        per-submap sampler.
+        `initial_grid_pose` is the node pose estimate in the submap's grid
+        frame; `relative_distance` is the node-to-submap distance used for
+        the max_constraint_distance gate, alongside the per-submap sampler.
         """
-        if (np.linalg.norm(initial_relative_pose[:2])
-                > self._options.max_constraint_distance):
+        if relative_distance > self._options.max_constraint_distance:
             return None
-        sampler = self._samplers.setdefault(
-            submap_id, FixedRatioSampler(self._options.sampling_ratio))
-        if not sampler.pulse():
-            return None
+        with self._lock:
+            sampler = self._samplers.setdefault(
+                submap_id, FixedRatioSampler(self._options.sampling_ratio))
+            if not sampler.pulse():
+                return None
         return self._compute_constraint(
-            submap_id, grid, node_id, node_points, initial_relative_pose,
+            submap_id, grid, node_id, node_points, initial_grid_pose,
             match_full_submap=False)
 
     def maybe_add_global_constraint(

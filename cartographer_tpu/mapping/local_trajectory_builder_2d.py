@@ -105,17 +105,27 @@ class LocalTrajectoryBuilder2D:
             num_iterations=gn.max_num_iterations)
         use_correlative = options.use_online_correlative_scan_matching
 
-        def match(grid: Grid2D, returns: PointCloud, pose_prediction_vec, seed):
+        use_tsdf = options.submaps.grid_type == "TSDF"
+
+        def match(grid, returns: PointCloud, pose_prediction_vec, seed):
             filtered = adaptive_voxel_filter(
                 returns, avf.max_length, avf.min_num_points, avf.max_range, seed)
             prediction = Rigid2.from_vector(pose_prediction_vec)
             initial = prediction
             if use_correlative:
+                # The correlative matcher scores either grid type through its
+                # probability()/correspondence_score surface.
                 _, initial = real_time_correlative_match(
                     grid, filtered.points, filtered.mask, prediction, corr_params)
-            pose, cost = gauss_newton_match_2d(
-                grid, filtered.points, filtered.mask, initial, gn_params,
-                target_translation=prediction.translation)
+            if use_tsdf:
+                from cartographer_tpu.ops.tsdf_2d import gauss_newton_match_tsdf
+                pose, cost = gauss_newton_match_tsdf(
+                    grid, filtered.points, filtered.mask, initial, gn_params,
+                    target_translation=prediction.translation)
+            else:
+                pose, cost = gauss_newton_match_2d(
+                    grid, filtered.points, filtered.mask, initial, gn_params,
+                    target_translation=prediction.translation)
             return pose.to_vector(), cost, filtered
 
         self._match_fn = jax.jit(match)

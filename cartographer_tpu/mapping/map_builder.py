@@ -151,7 +151,13 @@ class MapBuilder:
             from cartographer_tpu.mapping.pose_graph_3d import PoseGraph3D
             self.pose_graph = PoseGraph3D(options.pose_graph)
         else:
-            self.pose_graph = PoseGraph2D(options.pose_graph)
+            # Background constraint search (reference P2 pipelining) is
+            # opt-in: the thread-pool completion order makes the sampled
+            # constraint set nondeterministic, exactly as in the reference.
+            self.pose_graph = PoseGraph2D(
+                options.pose_graph,
+                num_background_threads=(options.num_background_threads
+                                        if options.async_constraint_search else 0))
         self._collator = (TrajectoryCollator() if options.collate_by_trajectory
                           else Collator())
         self._builders: Dict[int, GlobalTrajectoryBuilder] = {}

@@ -70,9 +70,23 @@ def _inverse2d(a: np.ndarray) -> np.ndarray:
 
 
 class PoseGraph2D:
-    def __init__(self, options: PoseGraphOptions):
+    def __init__(self, options: PoseGraphOptions, num_background_threads: int = 0):
+        """`num_background_threads` > 0 enables the reference's pipelined
+        frontend/backend concurrency (SURVEY.md P2): loop-closure searches run
+        as background tasks (device dispatches release the GIL) while the
+        frontend keeps feeding nodes; optimization waits for the pending
+        batch like ConstraintBuilder2D::WhenDone."""
         self._options = options
         self._constraint_builder = ConstraintBuilder2D(options.constraint_builder)
+        self._executor = None
+        self._pending_futures: List = []
+        import threading
+        self._result_lock = threading.Lock()
+        if num_background_threads > 0:
+            from concurrent.futures import ThreadPoolExecutor
+            self._executor = ThreadPoolExecutor(
+                max_workers=num_background_threads,
+                thread_name_prefix="constraint")
         self.nodes: MapById[TrajectoryNode] = MapById()
         self.submap_data: MapById[SubmapDataEntry] = MapById()
         self.constraints: List[Constraint] = []
@@ -153,14 +167,14 @@ class PoseGraph2D:
         for (tid, sindex), entry in self.submap_data.items():
             sid = SubmapId(tid, sindex)
             if entry.finished and node_id not in entry.node_ids:
-                self._compute_constraint(node_id, sid)
+                self._schedule_constraint(node_id, sid)
         # ...and all old nodes vs newly finished submaps.
         for sid in newly_finished:
             entry = self.submap_data[sid]
             for (tid, nindex), _ in self.nodes.items():
                 nid = NodeId(tid, nindex)
                 if nid not in entry.node_ids:
-                    self._compute_constraint(nid, sid)
+                    self._schedule_constraint(nid, sid)
 
         self._num_nodes_since_last_optimization += 1
         if (self._options.optimize_every_n_nodes > 0
@@ -249,6 +263,22 @@ class PoseGraph2D:
 
     # ------------------------------------------------------------ loop closure
 
+    def _schedule_constraint(self, node_id: NodeId, submap_id: SubmapId) -> None:
+        """Run the constraint search inline, or dispatch it to the background
+        pool (the device work inside releases the GIL)."""
+        if self._executor is None:
+            self._compute_constraint(node_id, submap_id)
+        else:
+            self._pending_futures.append(
+                self._executor.submit(self._compute_constraint, node_id, submap_id))
+
+    def wait_for_all_computations(self) -> None:
+        """WaitForAllComputations (pose_graph_2d.cc:546+): drain pending
+        background constraint searches."""
+        futures, self._pending_futures = self._pending_futures, []
+        for f in futures:
+            f.result()
+
     def _compute_constraint(self, node_id: NodeId, submap_id: SubmapId) -> None:
         """ComputeConstraint (pose_graph_2d.cc:261-310): local window when
         connected recently, global search otherwise.
@@ -268,31 +298,37 @@ class PoseGraph2D:
             return
         anchor = self._submap_local_pose_2d(entry.submap)
 
-        connected = self.transitively_connected(
-            node_id.trajectory_id, submap_id.trajectory_id)
+        with self._result_lock:
+            connected = self.transitively_connected(
+                node_id.trajectory_id, submap_id.trajectory_id)
+            is_local = (node_id.trajectory_id == submap_id.trajectory_id
+                        or connected)
+            global_pulse = False if is_local else self._global_sampler.pulse()
         constraint = None
-        if node_id.trajectory_id == submap_id.trajectory_id or connected:
+        if is_local:
             # Node pose estimate in the grid (local) frame:
             # A * (submap_global^-1 * node_global).
             rel_est = _compose2d(_inverse2d(entry.global_pose_2d), node.global_pose_2d)
             init = _compose2d(anchor, rel_est)
             constraint = self._constraint_builder.maybe_add_constraint(
                 submap_id, entry.submap.grid, node_id, node.filtered_points,
-                init)
-        elif self._global_sampler.pulse():
+                init, relative_distance=float(np.linalg.norm(rel_est[:2])))
+        elif global_pulse:
             constraint = self._constraint_builder.maybe_add_global_constraint(
                 submap_id, entry.submap.grid, node_id, node.filtered_points)
         if constraint is not None:
             # The matcher returns the node pose in the grid frame; re-anchor.
             constraint.rel = _compose2d(_inverse2d(anchor), constraint.rel)
-            self.constraints.append(constraint)
-            self._union(node_id.trajectory_id, submap_id.trajectory_id)
+            with self._result_lock:
+                self.constraints.append(constraint)
+                self._union(node_id.trajectory_id, submap_id.trajectory_id)
 
     # ------------------------------------------------------------ optimization
 
     def run_optimization(self, num_iterations: Optional[int] = None) -> None:
         """Build the SPA problem and solve (HandleWorkQueue + RunOptimization,
         pose_graph_2d.cc:444-518, 861-908)."""
+        self.wait_for_all_computations()
         if self.submap_data.empty() or not self.constraints:
             self._num_nodes_since_last_optimization = 0
             return

@@ -67,12 +67,41 @@ class ActiveSubmaps2D:
         self._tpu = tpu
         self.submaps: List[Submap2D] = []
         self._grids: Optional[Grid2D] = None  # batched (2, S, S)
-        ins = options.probability_grid_range_data_inserter
-        self._insert_fn = _make_insert_fn(
-            ins.hit_probability, ins.miss_probability, ins.insert_free_space,
-            tpu.ray_samples)
+        if options.grid_type == "TSDF":
+            from cartographer_tpu.ops.tsdf_2d import insert_range_data_tsdf
 
-    def _blank_grid(self, center_xy: np.ndarray) -> Grid2D:
+            tsdf = options.tsdf_range_data_inserter
+
+            def insert_one(grid, rd, active):
+                new = insert_range_data_tsdf(
+                    grid, rd,
+                    update_weight_range_exponent=tsdf.update_weight_range_exponent,
+                    angle_kernel_bandwidth=(
+                        tsdf.update_weight_angle_scan_normal_to_ray_kernel_bandwidth),
+                    distance_kernel_bandwidth=(
+                        tsdf.update_weight_distance_cell_to_hit_kernel_bandwidth),
+                    project_to_normal=tsdf.project_sdf_distance_to_scan_normal)
+                return jax.tree_util.tree_map(
+                    lambda old, upd: jnp.where(active, upd, old), grid, new)
+
+            self._insert_fn = jax.jit(
+                jax.vmap(insert_one, in_axes=(0, None, 0)), donate_argnums=(0,))
+        else:
+            ins = options.probability_grid_range_data_inserter
+            self._insert_fn = _make_insert_fn(
+                ins.hit_probability, ins.miss_probability, ins.insert_free_space,
+                tpu.ray_samples)
+
+    def _blank_grid(self, center_xy: np.ndarray):
+        if self._options.grid_type == "TSDF":
+            from cartographer_tpu.ops.tsdf_2d import TsdfGrid2D
+
+            tsdf = self._options.tsdf_range_data_inserter
+            return TsdfGrid2D.create(
+                self._tpu.submap_grid_size, self._options.resolution,
+                jnp.asarray(center_xy, jnp.float32),
+                truncation_distance=tsdf.truncation_distance,
+                max_weight=tsdf.maximum_weight)
         return Grid2D.create(self._tpu.submap_grid_size, self._options.resolution,
                              jnp.asarray(center_xy, jnp.float32))
 

@@ -51,8 +51,23 @@ class TsdfGrid2D:
     def size(self) -> int:
         return self.tsd.shape[0]
 
+    def world_to_cell(self, points: jnp.ndarray) -> jnp.ndarray:
+        return jnp.floor((points - self.origin) / self.resolution).astype(jnp.int32)
+
     def world_to_cell_continuous(self, points: jnp.ndarray) -> jnp.ndarray:
         return (points - self.origin) / self.resolution
+
+    @property
+    def known(self) -> jnp.ndarray:
+        return self.weight > 0
+
+    def known_bounds_numpy(self):
+        import numpy as np
+        known = np.asarray(self.weight) > 0
+        if not known.any():
+            return 0, -1, 0, -1
+        ii, jj = np.nonzero(known)
+        return int(ii.min()), int(ii.max()), int(jj.min()), int(jj.max())
 
     def correspondence_score(self) -> jnp.ndarray:
         """(S, S) normalized score 1 - |tsd|/truncation, 0 where unknown —
@@ -60,6 +75,12 @@ class TsdfGrid2D:
         branch)."""
         score = 1.0 - jnp.abs(self.tsd) / self.truncation_distance
         return jnp.where(self.weight > 0, score, 0.0)
+
+    # Scoring-surface alias so the correlative matcher accepts either grid
+    # type (ProbabilityGrid scores mean probability; TSDF scores the
+    # normalized 1 - |tsd|, both "higher is better-aligned").
+    def probability(self) -> jnp.ndarray:
+        return self.correspondence_score()
 
 
 def estimate_normals_2d(points: jnp.ndarray, mask: jnp.ndarray,
@@ -159,15 +180,46 @@ def insert_range_data_tsdf(
         grid, tsd=new_tsd.reshape(s, s), weight=new_w.reshape(s, s))
 
 
+def gauss_newton_match_tsdf(grid: TsdfGrid2D, points: jnp.ndarray,
+                            mask: jnp.ndarray, initial_pose, params,
+                            target_translation=None):
+    """CeresScanMatcher2D on a TSDF grid (tsdf_match_cost_function_2d.cc):
+    same anchoring as the probability-grid matcher, occupied-space term
+    replaced by the interpolated signed distance."""
+    import jax.numpy as _jnp
+
+    from cartographer_tpu.ops.gauss_newton import lm_solve
+    from cartographer_tpu.transform.rigid import Rigid2
+
+    if target_translation is None:
+        target_translation = initial_pose.translation
+    target_rotation = initial_pose.rotation
+
+    def residual_fn(pose_vec):
+        occ = tsdf_residuals(grid, points, mask, pose_vec,
+                             params.occupied_space_weight)
+        r_t = params.translation_weight * (pose_vec[0:2] - target_translation)
+        r_r = params.rotation_weight * (pose_vec[2:3] - target_rotation[None])
+        return _jnp.concatenate([occ, r_t, r_r])
+
+    x, cost, _ = lm_solve(residual_fn, initial_pose.to_vector(),
+                          num_iterations=params.num_iterations)
+    return Rigid2.from_vector(x), cost
+
+
 def tsdf_residuals(grid: TsdfGrid2D, points: jnp.ndarray, mask: jnp.ndarray,
                    pose_vec: jnp.ndarray, weight: float) -> jnp.ndarray:
-    """Per-point TSDF match residual w * TSD(T(p)) (tsdf_match_cost_function_2d.cc:
-    the interpolated signed distance at the point is the residual)."""
+    """Per-point TSDF match residual w * TSD(T(p)) / truncation
+    (tsdf_match_cost_function_2d.cc interpolates the signed distance; we
+    additionally normalize by the truncation distance so the residual is
+    dimensionless and weight-compatible with the probability-grid matcher's
+    (1 - p) residuals — otherwise the metric-scale TSD (<= 0.3 m) is
+    overwhelmed by the translation anchor at the shared default weights)."""
     from cartographer_tpu.transform.rigid import Rigid2
 
     pose = Rigid2.from_vector(pose_vec)
     world = pose.apply(points)
     coords = grid.world_to_cell_continuous(world)
-    tsd = interp_bicubic(grid.tsd, coords)
+    tsd = interp_bicubic(grid.tsd, coords) / grid.truncation_distance
     n = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
     return jnp.where(mask, (weight / jnp.sqrt(n)) * tsd, 0.0)
