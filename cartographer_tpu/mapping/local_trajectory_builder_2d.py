@@ -237,8 +237,6 @@ class LocalTrajectoryBuilder2D:
 
         # Scan matching against the matching (oldest active) submap.
         pred_t, pred_q = pose_end
-        gravity = Rigid3(jnp.asarray(pred_t * 0, jnp.float32), jnp.asarray(gravity_q, jnp.float32))
-        pred = Rigid3(jnp.asarray(pred_t, jnp.float32), jnp.asarray(pred_q, jnp.float32))
         pred_2d_rigid = _project_2d_host(pred_t, pred_q, gravity_q)
 
         matching_grid = self._active_submaps.matching_grid

@@ -82,6 +82,21 @@ class PoseGraph2D:
         self._pending_futures: List = []
         import threading
         self._result_lock = threading.Lock()
+        # Metrics (pose_graph_2d.cc:44-50 work-queue gauges + constraint
+        # counters).
+        from cartographer_tpu import metrics as m
+        factory = m.GLOBAL_FACTORY
+        counts = factory.new_counter_family(
+            "mapping_2d_pose_graph_constraints",
+            "Constraints added to the pose graph")
+        self._metric_intra = counts.add({"tag": "intra_submap"})
+        self._metric_inter = counts.add({"tag": "inter_submap"})
+        self._metric_optimizations = factory.new_counter_family(
+            "mapping_2d_pose_graph_optimizations",
+            "Pose graph optimization runs").add({})
+        self._metric_pending = factory.new_gauge_family(
+            "mapping_2d_pose_graph_work_queue_depth",
+            "Pending background constraint searches").add({})
         if num_background_threads > 0:
             from concurrent.futures import ThreadPoolExecutor
             self._executor = ThreadPoolExecutor(
@@ -154,6 +169,7 @@ class PoseGraph2D:
                 translation_weight=self._options.matcher_translation_weight,
                 rotation_weight=self._options.matcher_rotation_weight,
                 tag="INTRA_SUBMAP"))
+            self._metric_intra.increment()
 
         # Mark newly finished submaps and search their loop closures.
         newly_finished: List[SubmapId] = []
@@ -271,6 +287,8 @@ class PoseGraph2D:
         else:
             self._pending_futures.append(
                 self._executor.submit(self._compute_constraint, node_id, submap_id))
+            self._metric_pending.set(
+                sum(1 for f in self._pending_futures if not f.done()))
 
     def wait_for_all_computations(self) -> None:
         """WaitForAllComputations (pose_graph_2d.cc:546+): drain pending
@@ -322,6 +340,7 @@ class PoseGraph2D:
             with self._result_lock:
                 self.constraints.append(constraint)
                 self._union(node_id.trajectory_id, submap_id.trajectory_id)
+            self._metric_inter.increment()
 
     # ------------------------------------------------------------ optimization
 
@@ -329,6 +348,7 @@ class PoseGraph2D:
         """Build the SPA problem and solve (HandleWorkQueue + RunOptimization,
         pose_graph_2d.cc:444-518, 861-908)."""
         self.wait_for_all_computations()
+        self._metric_optimizations.increment()
         if self.submap_data.empty() or not self.constraints:
             self._num_nodes_since_last_optimization = 0
             return
