@@ -209,17 +209,18 @@ def gauss_newton_match_tsdf(grid: TsdfGrid2D, points: jnp.ndarray,
 
 def tsdf_residuals(grid: TsdfGrid2D, points: jnp.ndarray, mask: jnp.ndarray,
                    pose_vec: jnp.ndarray, weight: float) -> jnp.ndarray:
-    """Per-point TSDF match residual w * TSD(T(p)) / truncation
-    (tsdf_match_cost_function_2d.cc interpolates the signed distance; we
-    additionally normalize by the truncation distance so the residual is
-    dimensionless and weight-compatible with the probability-grid matcher's
-    (1 - p) residuals — otherwise the metric-scale TSD (<= 0.3 m) is
-    overwhelmed by the translation anchor at the shared default weights)."""
+    """Per-point TSDF match residual (tsdf_match_cost_function_2d.cc
+    interpolates the signed distance). The raw TSD is rescaled by
+    0.8 / resolution so its spatial gradient matches the probability-grid
+    residual's near-surface slope (d(1-p)/dx ~ (p_max - p_min)/resolution) —
+    the shared ceres_scan_matcher weights (translation/rotation anchors) are
+    tuned against that slope, and the metric-scale TSD (<= truncation) is
+    otherwise overwhelmed by them."""
     from cartographer_tpu.transform.rigid import Rigid2
 
     pose = Rigid2.from_vector(pose_vec)
     world = pose.apply(points)
     coords = grid.world_to_cell_continuous(world)
-    tsd = interp_bicubic(grid.tsd, coords) / grid.truncation_distance
+    tsd = interp_bicubic(grid.tsd, coords) * (0.8 / grid.resolution)
     n = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
     return jnp.where(mask, (weight / jnp.sqrt(n)) * tsd, 0.0)
