@@ -87,6 +87,11 @@ class PoseGraphStub:
     def get_constraints(self) -> List[dict]:
         return self._unary("GetConstraints", {})["constraints"]
 
+    def get_submap_texture(self, trajectory_id: int, submap_index: int) -> dict:
+        """SubmapQuery: grayscale occupancy texture of a finished submap."""
+        return self._unary("GetSubmapTexture", {
+            "trajectory_id": trajectory_id, "submap_index": submap_index})
+
     def is_trajectory_finished(self, trajectory_id: int) -> bool:
         return self._unary("IsTrajectoryFinished",
                            {"trajectory_id": trajectory_id})["is_finished"]

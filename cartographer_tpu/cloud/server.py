@@ -151,6 +151,7 @@ class MapBuilderServer:
             "AddLandmarkData": client_stream(self._add_sensor_data_stream),
             "AddSensorDataBatch": unary(self._add_sensor_data_batch),
             "AddLocalSlamResultBatch": unary(self._add_local_slam_result_batch),
+            "GetSubmapTexture": unary(self._get_submap_texture),
             "GetTrajectoryNodePoses": unary(self._get_trajectory_node_poses),
             "GetAllSubmapPoses": unary(self._get_all_submap_poses),
             "GetConstraints": unary(self._get_constraints),
@@ -221,6 +222,27 @@ class MapBuilderServer:
     def _drain(self) -> None:
         """Block until the SLAM thread has consumed everything enqueued."""
         self._incoming.join()
+
+    def _get_submap_texture(self, request, context):
+        """SubmapQuery path (cloud handlers + io/submap_painter.cc): render
+        one submap's grid to a grayscale texture."""
+        self._drain()
+        from cartographer_tpu.io.submap_painter import submap_to_image
+        from cartographer_tpu.mapping.id import SubmapId
+
+        sid = SubmapId(request["trajectory_id"], request["submap_index"])
+        entry = self.map_builder.pose_graph.submap_data.get(sid)
+        if entry is None or getattr(entry.submap, "grid", None) is None:
+            context.abort(grpc.StatusCode.NOT_FOUND, f"no finished submap {sid}")
+        img, origin = submap_to_image(entry.submap.grid)
+        return {
+            "width": int(img.shape[1]),
+            "height": int(img.shape[0]),
+            "cells": img.tobytes(),
+            "origin": [float(origin[0]), float(origin[1])],
+            "resolution": entry.submap.grid.resolution,
+            "num_range_data": entry.submap.num_range_data,
+        }
 
     def _get_trajectory_node_poses(self, request, context):
         self._drain()
