@@ -128,20 +128,37 @@ def fast_correlative_match_2d(
     scores = jnp.where(angle_valid[a_idx], scores, -jnp.inf)
 
     beam = params.beam_width
-    for h in range(depth - 2, -1, -1):
-        k = min(beam, scores.shape[0])
-        top_scores, top_idx = jax.lax.top_k(scores, k)
-        a_idx = a_idx[top_idx]
-        ox = ox[top_idx]
-        oy = oy[top_idx]
-        # Split each candidate block (2^(h+1))^2 into 4 children of 2^h.
-        child = 1 << h
-        a_idx = jnp.tile(a_idx, 4)
-        ox = jnp.concatenate([ox, ox + child, ox, ox + child])
-        oy = jnp.concatenate([oy, oy, oy + child, oy + child])
+    # Level-synchronous descent as one lax.scan (an unrolled level loop
+    # compiles catastrophically — ~4 min at depth 7 / beam 4096). Carry is a
+    # fixed beam*4 candidate set; each step keeps the top `beam`, splits each
+    # into 4 children of width 2^h, and rescores on pyramid level h.
+    cand = beam * 4
+    k0 = min(cand, scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(scores, k0)
+    a_idx = jnp.pad(a_idx[top_idx], (0, cand - k0))
+    ox = jnp.pad(ox[top_idx], (0, cand - k0))
+    oy = jnp.pad(oy[top_idx], (0, cand - k0))
+    scores = jnp.pad(top_scores, (0, cand - k0), constant_values=-jnp.inf)
+
+    def level_step(carry, h):
+        a_idx, ox, oy, scores = carry
+        top_scores, top_idx = jax.lax.top_k(scores, beam)
+        a_sel = a_idx[top_idx]
+        ox_sel = ox[top_idx]
+        oy_sel = oy[top_idx]
+        child = (1 << h).astype(ox.dtype)
+        a_new = jnp.tile(a_sel, 4)
+        ox_new = jnp.concatenate([ox_sel, ox_sel + child, ox_sel, ox_sel + child])
+        oy_new = jnp.concatenate([oy_sel, oy_sel, oy_sel + child, oy_sel + child])
         parent_alive = jnp.tile(top_scores > min_score, 4)
-        scores = _score_candidates(pyramid[h], base_cells, a_idx, ox, oy, mask, size)
-        scores = jnp.where(parent_alive, scores, -jnp.inf)
+        level = pyramid[h]
+        s_new = _score_candidates(level, base_cells, a_new, ox_new, oy_new, mask, size)
+        s_new = jnp.where(parent_alive, s_new, -jnp.inf)
+        return (a_new, ox_new, oy_new, s_new), None
+
+    hs = jnp.arange(depth - 2, -1, -1)
+    (a_idx, ox, oy, scores), _ = jax.lax.scan(
+        level_step, (a_idx, ox, oy, scores), hs)
 
     best = jnp.argmax(scores)
     best_score = scores[best]
