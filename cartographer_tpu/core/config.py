@@ -91,9 +91,24 @@ class ConstantVelocityExtrapolatorOptions:
 
 
 @dataclasses.dataclass(frozen=True)
+class ImuBasedExtrapolatorOptions:
+    """trajectory_builder_3d.lua pose_extrapolator.imu_based defaults."""
+    pose_queue_duration: float = 5.0
+    gravity_constant: float = 9.806
+    pose_translation_weight: float = 1.0
+    pose_rotation_weight: float = 1.0
+    imu_acceleration_weight: float = 1.0
+    imu_rotation_weight: float = 1.0
+    odometry_translation_weight: float = 1.0
+    odometry_rotation_weight: float = 1.0
+    max_num_iterations: int = 10
+
+
+@dataclasses.dataclass(frozen=True)
 class PoseExtrapolatorOptions:
     use_imu_based: bool = False
     constant_velocity: ConstantVelocityExtrapolatorOptions = _d(ConstantVelocityExtrapolatorOptions)
+    imu_based: ImuBasedExtrapolatorOptions = _d(ImuBasedExtrapolatorOptions)
 
 
 @dataclasses.dataclass(frozen=True)

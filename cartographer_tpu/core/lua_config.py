@@ -211,6 +211,25 @@ def _fill(options, values: Dict[str, Any], skip=()):
     return options
 
 
+def _pose_extrapolator_from_lua(opts, pe: Dict[str, Any]):
+    if "use_imu_based" in pe:
+        opts = dataclasses.replace(opts, use_imu_based=pe["use_imu_based"])
+    if "constant_velocity" in pe:
+        opts = dataclasses.replace(
+            opts, constant_velocity=_fill(opts.constant_velocity,
+                                          pe["constant_velocity"]))
+    if "imu_based" in pe:
+        ib = pe["imu_based"]
+        new_ib = _fill(opts.imu_based, ib, skip=("solver_options",))
+        if "solver_options" in ib:
+            new_ib = dataclasses.replace(
+                new_ib, max_num_iterations=int(
+                    ib["solver_options"].get("max_num_iterations",
+                                             new_ib.max_num_iterations)))
+        opts = dataclasses.replace(opts, imu_based=new_ib)
+    return opts
+
+
 def trajectory_builder_2d_from_lua(d: Dict[str, Any]) -> cfg.TrajectoryBuilder2DOptions:
     opts = cfg.TrajectoryBuilder2DOptions()
     opts = _fill(opts, d, skip=("submaps", "ceres_scan_matcher", "pose_extrapolator"))
@@ -224,15 +243,8 @@ def trajectory_builder_2d_from_lua(d: Dict[str, Any]) -> cfg.TrajectoryBuilder2D
                                                     new.max_num_iterations)))
         opts = dataclasses.replace(opts, ceres_scan_matcher=new)
     if "pose_extrapolator" in d:
-        pe = d["pose_extrapolator"]
-        new_pe = opts.pose_extrapolator
-        if "use_imu_based" in pe:
-            new_pe = dataclasses.replace(new_pe, use_imu_based=pe["use_imu_based"])
-        if "constant_velocity" in pe:
-            new_pe = dataclasses.replace(
-                new_pe, constant_velocity=_fill(new_pe.constant_velocity,
-                                                pe["constant_velocity"]))
-        opts = dataclasses.replace(opts, pose_extrapolator=new_pe)
+        opts = dataclasses.replace(opts, pose_extrapolator=_pose_extrapolator_from_lua(
+            opts.pose_extrapolator, d["pose_extrapolator"]))
     if "submaps" in d:
         sm = d["submaps"]
         new_sm = _fill(opts.submaps, sm, skip=("grid_options_2d", "range_data_inserter"))
@@ -276,6 +288,9 @@ def trajectory_builder_3d_from_lua(d: Dict[str, Any]) -> cfg.TrajectoryBuilder3D
                     csm["ceres_solver_options"].get("max_num_iterations",
                                                     new.max_num_iterations)))
         opts = dataclasses.replace(opts, ceres_scan_matcher=new)
+    if "pose_extrapolator" in d:
+        opts = dataclasses.replace(opts, pose_extrapolator=_pose_extrapolator_from_lua(
+            opts.pose_extrapolator, d["pose_extrapolator"]))
     if "submaps" in d:
         sm = d["submaps"]
         new_sm = _fill(opts.submaps, sm, skip=("range_data_inserter",))

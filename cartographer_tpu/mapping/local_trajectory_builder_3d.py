@@ -142,10 +142,19 @@ class LocalTrajectoryBuilder3D:
 
     def add_imu_data(self, imu_data: ImuData) -> None:
         if self._extrapolator is None:
-            cv = self._options.pose_extrapolator.constant_velocity
-            self._extrapolator = PoseExtrapolator.initialize_with_imu(
-                from_seconds(cv.pose_queue_duration),
-                cv.imu_gravity_time_constant, imu_data)
+            # PoseExtrapolatorInterface::CreateWithImuData dispatch
+            # (pose_extrapolator_interface.cc:62-76).
+            pe = self._options.pose_extrapolator
+            if pe.use_imu_based:
+                from cartographer_tpu.mapping.imu_based_pose_extrapolator import (
+                    ImuBasedPoseExtrapolator)
+                self._extrapolator = ImuBasedPoseExtrapolator.initialize_with_imu(
+                    pe.imu_based, [imu_data])
+            else:
+                cv = pe.constant_velocity
+                self._extrapolator = PoseExtrapolator.initialize_with_imu(
+                    from_seconds(cv.pose_queue_duration),
+                    cv.imu_gravity_time_constant, imu_data)
         else:
             self._extrapolator.add_imu_data(imu_data)
         self._last_imu_accel = np.asarray(imu_data.linear_acceleration)
