@@ -224,12 +224,12 @@ class LocalTrajectoryBuilder2D:
         t01[:npts] = times01[:npts]
         mask = np.zeros(capacity, bool)
         mask[:npts] = True
-        origin = np.zeros(3, np.float32)
-        origin[: data.origin.shape[0]] = data.origin
+        origins = np.zeros((capacity, 3), np.float32)
+        origins[:npts] = data.per_point_origins(3)[:npts]
 
         rd_aligned, _ = self._preprocess_fn(
             jnp.asarray(points), jnp.asarray(t01), jnp.asarray(mask),
-            jnp.asarray(origin),
+            jnp.asarray(origins),
             Rigid3(jnp.asarray(pose_start[0], jnp.float32), jnp.asarray(pose_start[1], jnp.float32)),
             Rigid3(jnp.asarray(pose_end[0], jnp.float32), jnp.asarray(pose_end[1], jnp.float32)),
             jnp.asarray(gravity_q, jnp.float32),

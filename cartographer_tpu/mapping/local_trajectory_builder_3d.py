@@ -95,16 +95,21 @@ class LocalTrajectoryBuilder3D:
         hi = options.high_resolution_adaptive_voxel_filter
         lo = options.low_resolution_adaptive_voxel_filter
 
-        def preprocess(points, times01, mask, pose_start: Rigid3, pose_end: Rigid3, seed):
+        def preprocess(points, times01, mask, origins,
+                       pose_start: Rigid3, pose_end: Rigid3, seed):
             """Unwarp into local frame, back to scan-end tracking frame,
-            range-gate, voxel filter, and build the two matching clouds."""
+            range-gate against per-point sensor origins, voxel filter, and
+            build the two matching clouds."""
             poses = interpolate_rigid3(
                 jax.tree_util.tree_map(lambda x: x[None], pose_start),
                 jax.tree_util.tree_map(lambda x: x[None], pose_end),
                 times01)
             local = poses.apply(points)
+            origins_local = poses.apply(origins)
             tracking = pose_end.inverse().apply(local)
-            r = jnp.linalg.norm(tracking, axis=-1)
+            # range per point relative to its own sensor origin
+            # (local_trajectory_builder_3d.cc hit/origin_in_local loop).
+            r = jnp.linalg.norm(local - origins_local, axis=-1)
             keep = mask & (r >= options.min_range) & (r <= options.max_range)
             keep = keep & voxel_filter_mask(tracking, keep, options.voxel_filter_size, seed)
             cloud = PointCloud(points=tracking, mask=keep,
@@ -215,9 +220,12 @@ class LocalTrajectoryBuilder3D:
         t01[:npts] = times01[:npts]
         mask = np.zeros(capacity, bool)
         mask[:npts] = True
+        origins = np.zeros((capacity, 3), np.float32)
+        origins[:npts] = data.per_point_origins(3)[:npts]
 
         cloud, high, low = self._preprocess_fn(
             jnp.asarray(points), jnp.asarray(t01), jnp.asarray(mask),
+            jnp.asarray(origins),
             Rigid3(jnp.asarray(pose_start[0], jnp.float32),
                    jnp.asarray(pose_start[1], jnp.float32)),
             Rigid3(jnp.asarray(pose_end[0], jnp.float32),

@@ -55,12 +55,20 @@ class RangeDataCollator:
                 if data.time <= end:
                     del self._id_to_pending[sensor_id]
                 continue
+            n_keep = int(keep.sum())
+            # Missing intensities are filled with kDefaultIntensityValue=0
+            # (range_data_collator.h:41-44, .cc CropAndMerge).
+            intensities = (data.intensities[keep] if data.intensities is not None
+                           else np.zeros(n_keep, np.float32))
             cropped = TimedPointCloudData(
                 time=end,
                 origin=data.origin,
                 ranges=data.ranges[keep],
                 times=(abs_times[keep] - end) * 1e-6,
-                intensities=None if data.intensities is None else data.intensities[keep],
+                intensities=intensities,
+                origins=np.broadcast_to(
+                    np.asarray(data.origin, np.float32)[None, :],
+                    (n_keep, data.origin.shape[0])).copy(),
             )
             merged.append(cropped)
             if data.time <= end:
@@ -68,13 +76,17 @@ class RangeDataCollator:
         self._current_start = end
         if not merged:
             return []
-        # Concatenate all sensors into one batch stamped at `end`.
+        # Concatenate all sensors into one batch stamped at `end`, carrying
+        # per-point origins (≙ TimedPointCloudOriginData origin_index, here
+        # pre-gathered into a dense array for static-shape device kernels).
         first = merged[0]
+        times = np.concatenate([m.times for m in merged])
+        order = np.argsort(times, kind="stable")  # range_data_collator.cc:124
         return [TimedPointCloudData(
             time=end,
             origin=first.origin,
-            ranges=np.concatenate([m.ranges for m in merged]),
-            times=np.concatenate([m.times for m in merged]),
-            intensities=(np.concatenate([m.intensities for m in merged])
-                         if all(m.intensities is not None for m in merged) else None),
+            ranges=np.concatenate([m.ranges for m in merged])[order],
+            times=times[order],
+            intensities=np.concatenate([m.intensities for m in merged])[order],
+            origins=np.concatenate([m.origins for m in merged])[order],
         )]

@@ -41,7 +41,7 @@ def preprocess_scan_2d(
     points: jnp.ndarray,  # (N, 3) in sensor/tracking frame
     times01: jnp.ndarray,  # (N,) in [0, 1]: fraction between start and end pose
     mask: jnp.ndarray,  # (N,)
-    origin: jnp.ndarray,  # (3,) sensor origin in tracking frame
+    origin: jnp.ndarray,  # (N, 3) per-point sensor origins in tracking frame
     pose_start: Rigid3,  # tracking -> local at first point
     pose_end: Rigid3,  # tracking -> local at last point
     gravity_rotation: jnp.ndarray,  # (4,) quaternion: gravity orientation estimate
@@ -62,7 +62,9 @@ def preprocess_scan_2d(
     )  # batched Rigid3 with leading dim N
 
     hits_local = poses.apply(points)  # (N, 3) in local frame
-    origins_local = poses.apply(origin[None, :].repeat(points.shape[0], 0))
+    origins_local = poses.apply(origin)  # per-point sensor origins
+    # (local_trajectory_builder_2d.cc:168-170: origin_in_local =
+    # range_data_poses[i] * origins.at(ranges[i].origin_index))
     deltas = hits_local - origins_local
     ranges = jnp.linalg.norm(deltas, axis=-1)
 
@@ -79,7 +81,10 @@ def preprocess_scan_2d(
     align = Rigid3(jnp.zeros(3), gravity_rotation).compose(pose_end.inverse())
     hits_aligned = align.apply(hits_local)
     miss_aligned = align.apply(miss_points_local)
-    origin_aligned = align.apply(pose_end.apply(origin))
+    # RangeData origin is the scan-end pose translation
+    # (accumulated_range_data_.origin = range_data_poses.back().translation(),
+    # local_trajectory_builder_2d.cc:201).
+    origin_aligned = align.apply(pose_end.apply(jnp.zeros((1, 3), jnp.float32)))[0]
 
     # z-crop in the gravity-aligned frame (CropRangeData, min_z/max_z).
     in_z = (hits_aligned[..., 2] >= params.min_z) & (hits_aligned[..., 2] <= params.max_z)

@@ -67,3 +67,19 @@ class TimedPointCloudData:
     ranges: np.ndarray  # (n, D)
     times: np.ndarray  # (n,)
     intensities: Optional[np.ndarray] = None  # (n,)
+    # Per-point sensor origins (n, D) for merged multi-sensor batches
+    # (reference: sensor::TimedPointCloudOriginData with per-point
+    # origin_index, range_data_collator.h:42-44). None for single-sensor
+    # batches, meaning every point shares `origin`. The TPU build resolves
+    # origin_index into a dense gathered array so downstream kernels stay
+    # index-free.
+    origins: Optional[np.ndarray] = None
+
+    def per_point_origins(self, dims: int = 3) -> np.ndarray:
+        """Dense (n, dims) origins; broadcasts `origin` when `origins` is None."""
+        n = self.ranges.shape[0]
+        out = np.zeros((n, dims), np.float32)
+        src = self.origins if self.origins is not None else self.origin[None, :]
+        d = min(dims, src.shape[-1])
+        out[:, :d] = src[..., :d]
+        return out
