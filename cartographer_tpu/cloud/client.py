@@ -100,6 +100,22 @@ class PoseGraphStub:
         return self._unary("IsTrajectoryFrozen",
                            {"trajectory_id": trajectory_id})["is_frozen"]
 
+    def get_trajectory_states(self) -> Dict[int, str]:
+        resp = self._unary("GetTrajectoryStates", {})
+        return {int(k): v for k, v in resp["trajectory_states"].items()}
+
+    def get_landmark_poses(self) -> Dict[str, list]:
+        return self._unary("GetLandmarkPoses", {})["landmark_poses"]
+
+    def set_landmark_pose(self, landmark_id: str, pose, frozen: bool = False) -> None:
+        self._unary("SetLandmarkPose", {
+            "landmark_id": landmark_id,
+            "pose": [float(x) for x in np.asarray(pose).ravel()],
+            "frozen": frozen})
+
+    def delete_trajectory(self, trajectory_id: int) -> None:
+        self._unary("DeleteTrajectory", {"trajectory_id": trajectory_id})
+
 
 class MapBuilderStub:
     """MapBuilderInterface over gRPC (cloud/client/map_builder_stub.cc)."""
@@ -153,6 +169,14 @@ class MapBuilderStub:
             response_deserializer=codec.decode)
         return call({})
 
+    def receive_global_slam_optimizations(self):
+        """Server-streaming subscription to global optimization events."""
+        call = self._channel.unary_stream(
+            _method("ReceiveGlobalSlamOptimizations"),
+            request_serializer=codec.encode,
+            response_deserializer=codec.decode)
+        return call({})
+
     def write_state(self) -> bytes:
         return self._unary("WriteState", {})["state"]
 
@@ -160,6 +184,16 @@ class MapBuilderStub:
         return self._unary("LoadState", {
             "state": state, "load_frozen_state": load_frozen_state,
         })["trajectory_remapping"]
+
+    def load_state_from_file(self, file_path: str,
+                             load_frozen_state: bool = True) -> Dict[str, int]:
+        return self._unary("LoadStateFromFile", {
+            "file_path": file_path, "load_frozen_state": load_frozen_state,
+        })["trajectory_remapping"]
+
+    def write_state_to_file(self, file_path: str) -> bool:
+        return self._unary("WriteStateToFile",
+                           {"file_path": file_path})["success"]
 
     def close(self) -> None:
         self._channel.close()

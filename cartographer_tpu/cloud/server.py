@@ -151,7 +151,16 @@ class MapBuilderServer:
             "AddLandmarkData": client_stream(self._add_sensor_data_stream),
             "AddSensorDataBatch": unary(self._add_sensor_data_batch),
             "AddLocalSlamResultBatch": unary(self._add_local_slam_result_batch),
+            "DeleteTrajectory": unary(self._delete_trajectory),
+            "GetSubmap": unary(self._get_submap_texture),  # SubmapQuery
             "GetSubmapTexture": unary(self._get_submap_texture),
+            "GetTrajectoryStates": unary(self._get_trajectory_states),
+            "GetLandmarkPoses": unary(self._get_landmark_poses),
+            "SetLandmarkPose": unary(self._set_landmark_pose),
+            "LoadStateFromFile": unary(self._load_state_from_file),
+            "WriteStateToFile": unary(self._write_state_to_file),
+            "ReceiveGlobalSlamOptimizations": server_stream(
+                self._receive_global_slam_optimizations),
             "GetTrajectoryNodePoses": unary(self._get_trajectory_node_poses),
             "GetAllSubmapPoses": unary(self._get_all_submap_poses),
             "GetConstraints": unary(self._get_constraints),
@@ -308,6 +317,95 @@ class MapBuilderServer:
         remapping = self.map_builder.load_state(
             buf, load_frozen_state=request.get("load_frozen_state", True))
         return {"trajectory_remapping": {str(k): v for k, v in remapping.items()}}
+
+    def _delete_trajectory(self, request, context):
+        tid = request["trajectory_id"]
+        with self._lock:
+            finished_or_frozen = (
+                self._finished.get(tid, False)
+                or tid in self.map_builder.pose_graph._frozen_trajectories)
+        if not finished_or_frozen:
+            # DeleteTrajectoryHandler: only FINISHED or FROZEN trajectories
+            # may be deleted (cloud/internal/handlers/delete_trajectory_*).
+            context.abort(grpc.StatusCode.FAILED_PRECONDITION,
+                          f"trajectory {tid} is not finished or frozen")
+        self._drain()
+        self.map_builder.pose_graph.delete_trajectory(tid)
+        return {}
+
+    def _get_trajectory_states(self, request, context):
+        self._drain()
+        states = dict(self.map_builder.pose_graph.trajectory_states)
+        with self._lock:
+            for tid, fin in self._finished.items():
+                if fin and states.get(tid) not in ("FROZEN", "DELETED"):
+                    states[tid] = "FINISHED"
+        return {"trajectory_states": {str(k): v for k, v in states.items()}}
+
+    def _get_landmark_poses(self, request, context):
+        self._drain()
+        return {"landmark_poses": {
+            lid: [float(x) for x in np.asarray(pose).ravel()]
+            for lid, pose in
+            self.map_builder.pose_graph.get_landmark_poses().items()}}
+
+    def _set_landmark_pose(self, request, context):
+        self.map_builder.pose_graph.set_landmark_pose(
+            request["landmark_id"], np.asarray(request["pose"], np.float64),
+            frozen=request.get("frozen", False))
+        return {}
+
+    def _load_state_from_file(self, request, context):
+        with open(request["file_path"], "rb") as f:
+            remapping = self.map_builder.load_state(
+                f, load_frozen_state=request.get("load_frozen_state", True))
+        return {"trajectory_remapping": {str(k): v for k, v in remapping.items()}}
+
+    def _write_state_to_file(self, request, context):
+        self._drain()
+        with open(request["file_path"], "wb") as f:
+            self.map_builder.serialize_state(f)
+        return {"success": True}
+
+    def _receive_global_slam_optimizations(self, request, context):
+        """Server-streaming global-SLAM optimization notifications
+        (map_builder_service.proto:289-292); one message per completed
+        optimization with the last optimized node/submap indices."""
+        q: queue.Queue = queue.Queue(maxsize=100)
+
+        def on_optimization():
+            pg = self.map_builder.pose_graph
+            msg = {
+                "last_optimized_node_index": {
+                    str(tid): max((i for (t, i), _ in pg.nodes.items()
+                                   if t == tid), default=-1)
+                    for tid in {t for (t, _), _ in pg.nodes.items()}},
+                "last_optimized_submap_index": {
+                    str(tid): max((i for (t, i), _ in pg.submap_data.items()
+                                   if t == tid), default=-1)
+                    for tid in {t for (t, _), _ in pg.submap_data.items()}},
+            }
+            try:
+                q.put_nowait(msg)
+            except queue.Full:
+                pass
+
+        self.map_builder.pose_graph.set_global_slam_optimization_callback(
+            on_optimization)
+        with self._lock:
+            self._global_slam_subscriptions.append(q)
+        try:
+            while context.is_active():
+                try:
+                    yield q.get(timeout=0.2)
+                except queue.Empty:
+                    continue
+        finally:
+            with self._lock:
+                self._global_slam_subscriptions.remove(q)
+            cbs = self.map_builder.pose_graph._global_optimization_callbacks
+            if on_optimization in cbs:
+                cbs.remove(on_optimization)
 
     def _receive_local_slam_results(self, request, context):
         q: queue.Queue = queue.Queue(maxsize=1000)

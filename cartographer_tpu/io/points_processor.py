@@ -307,6 +307,154 @@ class XRayPointsProcessor(PointsProcessor):
         return super().flush()
 
 
+def _odds_update(cells_dict: Dict[tuple, float], cells: np.ndarray,
+                 log_odds_delta: float, lo_min: float, lo_max: float) -> None:
+    """Apply one odds-space update to each unique cell (probability_values.h
+    odds algebra on f32 log-odds; update-marker semantics = unique per batch)."""
+    for k in map(tuple, cells):
+        cells_dict[k] = float(np.clip(cells_dict.get(k, 0.0) + log_odds_delta,
+                                      lo_min, lo_max))
+
+
+def _ray_miss_samples(origin: np.ndarray, points: np.ndarray,
+                      resolution: float, max_steps: int = 4096) -> np.ndarray:
+    """Vectorized free-space samples along each ray [origin, hit)."""
+    if len(points) == 0:
+        return np.zeros((0, points.shape[1]))
+    d = points - origin[None, : points.shape[1]]
+    r = np.linalg.norm(d, axis=1)
+    n_steps = np.minimum(np.floor(r / resolution).astype(int), max_steps)
+    total = int(n_steps.sum())
+    if total == 0:
+        return np.zeros((0, points.shape[1]))
+    rep = np.repeat(np.arange(len(points)), n_steps)
+    cum = np.cumsum(n_steps)
+    pos = np.arange(total) - np.repeat(cum - n_steps, n_steps)
+    frac = (pos + 0.5) * resolution / np.maximum(r[rep], 1e-9)
+    return origin[None, : points.shape[1]] + d[rep] * frac[:, None]
+
+
+class _GridWritingPointsProcessor(PointsProcessor):
+    """Shared hit/miss log-odds accumulation for grid-writing processors."""
+
+    def __init__(self, resolution: float, hit_probability: float,
+                 miss_probability: float, dims: int, next_processor=None):
+        super().__init__(next_processor)
+        from cartographer_tpu.ops.probability import (
+            MAX_LOG_ODDS, MIN_LOG_ODDS)
+        self._res = resolution
+        self._dims = dims
+        self._lo_hit = float(np.log(hit_probability / (1 - hit_probability)))
+        self._lo_miss = float(np.log(miss_probability / (1 - miss_probability)))
+        self._lo_min, self._lo_max = float(MIN_LOG_ODDS), float(MAX_LOG_ODDS)
+        self._cells: Dict[tuple, float] = {}
+
+    def process(self, batch: PointsBatch) -> None:
+        pts = batch.points[:, : self._dims]
+        hit_cells = np.unique(
+            np.floor(pts / self._res).astype(np.int64), axis=0)
+        _odds_update(self._cells, hit_cells, self._lo_hit,
+                     self._lo_min, self._lo_max)
+        samples = _ray_miss_samples(batch.origin[: self._dims], pts, self._res)
+        if len(samples):
+            miss_cells = np.unique(
+                np.floor(samples / self._res).astype(np.int64), axis=0)
+            hit_set = {tuple(c) for c in hit_cells}
+            miss_cells = np.asarray(
+                [c for c in miss_cells if tuple(c) not in hit_set], np.int64)
+            if len(miss_cells):
+                _odds_update(self._cells, miss_cells, self._lo_miss,
+                             self._lo_min, self._lo_max)
+        super().process(batch)
+
+    def probabilities(self):
+        """(cells (n, dims) int64, probabilities (n,) float32)."""
+        if not self._cells:
+            return (np.zeros((0, self._dims), np.int64),
+                    np.zeros(0, np.float32))
+        cells = np.asarray(list(self._cells.keys()), np.int64)
+        lo = np.asarray(list(self._cells.values()), np.float32)
+        return cells, 1.0 / (1.0 + np.exp(-lo))
+
+
+class ProbabilityGridPointsProcessor(_GridWritingPointsProcessor):
+    """2D probability-grid rasterization of all map points
+    (io::ProbabilityGridPointsProcessor, action "write_probability_grid").
+    output_type "png" renders ProbabilityToColor grayscale via PIL (Cairo in
+    the reference); "pb" writes the sparse grid as msgpack (this build's
+    serialization format). draw_trajectories overlays node positions."""
+
+    def __init__(self, resolution: float, path: str, output_type: str = "png",
+                 draw_trajectories: bool = True, trajectories=(),
+                 hit_probability: float = 0.55, miss_probability: float = 0.49,
+                 next_processor=None):
+        super().__init__(resolution, hit_probability, miss_probability, 2,
+                         next_processor)
+        self._path = path
+        self._output_type = output_type
+        self._draw = draw_trajectories
+        self._trajectories = trajectories
+
+    def flush(self) -> str:
+        cells, probs = self.probabilities()
+        if self._output_type == "pb":
+            import msgpack
+            with open(self._path, "wb") as f:
+                f.write(msgpack.packb({
+                    "resolution": self._res,
+                    "cells": cells.tobytes(),
+                    "probabilities": probs.astype(np.float32).tobytes(),
+                    "num_cells": len(cells)}))
+        elif len(cells):
+            from PIL import Image
+            x0, y0 = cells.min(axis=0)
+            w, h = cells.max(axis=0) - cells.min(axis=0) + 1
+            # unknown cells render mid-gray 128, known via ProbabilityToColor
+            # (probability_grid_points_processor.cc:51-56)
+            img = np.full((int(h), int(w)), 128, np.uint8)
+            gray = np.round(255 * ((1.0 - probs) - 0.1) / 0.8).clip(0, 255)
+            img[cells[:, 1] - y0, cells[:, 0] - x0] = gray.astype(np.uint8)
+            rgb = np.stack([img] * 3, -1)
+            if self._draw:
+                colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+                for ti, traj in enumerate(self._trajectories):
+                    for t, q in traj:
+                        cx = int(np.floor(t[0] / self._res)) - x0
+                        cy = int(np.floor(t[1] / self._res)) - y0
+                        if 0 <= cy < h and 0 <= cx < w:
+                            rgb[cy, cx] = colors[ti % len(colors)]
+            Image.fromarray(rgb, "RGB").save(self._path)
+        return super().flush()
+
+
+class HybridGridPointsProcessor(_GridWritingPointsProcessor):
+    """3D voxel-grid accumulation written as msgpack sparse grid
+    (io::HybridGridPointsProcessor, action "write_hybrid_grid";
+    hybrid_grid_points_processor.cc:41-58)."""
+
+    def __init__(self, voxel_size: float, path: str,
+                 hit_probability: float = 0.55, miss_probability: float = 0.49,
+                 next_processor=None):
+        super().__init__(voxel_size, hit_probability, miss_probability, 3,
+                         next_processor)
+        self._path = path
+
+    def flush(self) -> str:
+        import msgpack
+        cells, probs = self.probabilities()
+        with open(self._path, "wb") as f:
+            f.write(msgpack.packb({
+                "resolution": self._res,
+                "cells": cells.tobytes(),
+                "probabilities": probs.astype(np.float32).tobytes(),
+                "num_cells": len(cells)}))
+        result = super().flush()
+        if result == FLUSH_RESTART:
+            raise RuntimeError(
+                "grid generation must run after any multi-pass stages")
+        return result
+
+
 # ---------------------------------------------------------------------------
 # Pipeline builder (io::PointsProcessorPipelineBuilder)
 # ---------------------------------------------------------------------------
@@ -315,9 +463,29 @@ _REGISTRY = {
     "write_xyz": lambda cfg, nxt: XyzWriterPointsProcessor(cfg["filename"], nxt),
     "write_ply": lambda cfg, nxt: PlyWriterPointsProcessor(cfg["filename"], nxt),
     "write_pcd": lambda cfg, nxt: PcdWriterPointsProcessor(cfg["filename"], nxt),
-    "write_xray": lambda cfg, nxt: XRayPointsProcessor(
+    "write_xray_image": lambda cfg, nxt: XRayPointsProcessor(
         cfg.get("voxel_size", 0.05), cfg["filename"], nxt),
-    "count": lambda cfg, nxt: CountingPointsProcessor(nxt),
+    "write_xray": lambda cfg, nxt: XRayPointsProcessor(  # legacy alias
+        cfg.get("voxel_size", 0.05), cfg["filename"], nxt),
+    "write_probability_grid": lambda cfg, nxt: ProbabilityGridPointsProcessor(
+        cfg["resolution"], cfg["filename"],
+        output_type=cfg.get("output_type", "png"),
+        draw_trajectories=cfg.get("draw_trajectories", True),
+        trajectories=cfg.get("trajectories", ()),
+        hit_probability=cfg.get("range_data_inserter", {}).get(
+            "hit_probability", 0.55),
+        miss_probability=cfg.get("range_data_inserter", {}).get(
+            "miss_probability", 0.49),
+        next_processor=nxt),
+    "write_hybrid_grid": lambda cfg, nxt: HybridGridPointsProcessor(
+        cfg["voxel_size"], cfg["filename"],
+        hit_probability=cfg.get("range_data_inserter", {}).get(
+            "hit_probability", 0.55),
+        miss_probability=cfg.get("range_data_inserter", {}).get(
+            "miss_probability", 0.49),
+        next_processor=nxt),
+    "dump_num_points": lambda cfg, nxt: CountingPointsProcessor(nxt),
+    "count": lambda cfg, nxt: CountingPointsProcessor(nxt),  # legacy alias
     "fixed_ratio_sampler": lambda cfg, nxt: FixedRatioSamplingPointsProcessor(
         cfg["sampling_ratio"], nxt),
     "min_max_range_filter": lambda cfg, nxt: MinMaxRangeFilteringPointsProcessor(

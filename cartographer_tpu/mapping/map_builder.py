@@ -225,6 +225,7 @@ class MapBuilder:
 
     def finish_trajectory(self, trajectory_id: int) -> None:
         self._collator.finish_trajectory(trajectory_id)
+        self.pose_graph.finish_trajectory(trajectory_id)
         finished_submaps = self._builders[trajectory_id].finish()
         # Register remaining active submaps' grids with the pose graph.
         for (tid, sindex), entry in self.pose_graph.submap_data.items():

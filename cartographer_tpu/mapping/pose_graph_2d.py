@@ -118,6 +118,9 @@ class PoseGraph2D:
         self._fixed_frame_data: MapByTime = MapByTime()
         self._landmark_observations: List = []  # (trajectory_id, LandmarkData)
         self.landmark_poses: Dict[str, np.ndarray] = {}
+        self._frozen_landmarks: Set[str] = set()
+        # PoseGraphInterface::TrajectoryState (ACTIVE/FINISHED/FROZEN/DELETED)
+        self.trajectory_states: Dict[int, str] = {}
 
     # ------------------------------------------------------------ connectivity
 
@@ -144,6 +147,7 @@ class PoseGraph2D:
         """Equivalent of PoseGraph2D::AddNode + ComputeConstraintsForNode
         (pose_graph_2d.cc:126-170, 312-402), synchronously."""
         self._find(trajectory_id)
+        self.trajectory_states.setdefault(trajectory_id, "ACTIVE")
         node_index = self.nodes.append(trajectory_id, node)
         node_id = NodeId(trajectory_id, node_index)
 
@@ -459,13 +463,20 @@ class PoseGraph2D:
             for obs in data.landmark_observations:
                 if obs.id not in landmark_slots:
                     landmark_slots[obs.id] = len(poses)
-                    node_pose = nearest_node.global_pose_2d
-                    obs2d = np.array([
-                        obs.landmark_to_tracking_transform_translation[0],
-                        obs.landmark_to_tracking_transform_translation[1],
-                        nquat.get_yaw(obs.landmark_to_tracking_transform_rotation)])
-                    poses.append(_compose2d(node_pose, obs2d))
-                    fixed.append(False)
+                    if obs.id in self.landmark_poses:
+                        # Previously optimized or client-set landmark pose;
+                        # frozen landmarks stay fixed anchors
+                        # (optimization_problem LandmarkNode.frozen).
+                        poses.append(np.asarray(self.landmark_poses[obs.id], float))
+                        fixed.append(obs.id in self._frozen_landmarks)
+                    else:
+                        node_pose = nearest_node.global_pose_2d
+                        obs2d = np.array([
+                            obs.landmark_to_tracking_transform_translation[0],
+                            obs.landmark_to_tracking_transform_translation[1],
+                            nquat.get_yaw(obs.landmark_to_tracking_transform_rotation)])
+                        poses.append(_compose2d(node_pose, obs2d))
+                        fixed.append(False)
                 obs2d = np.array([
                     obs.landmark_to_tracking_transform_translation[0],
                     obs.landmark_to_tracking_transform_translation[1],
@@ -589,7 +600,48 @@ class PoseGraph2D:
 
     def freeze_trajectory(self, trajectory_id: int) -> None:
         self._frozen_trajectories.add(trajectory_id)
+        self.trajectory_states[trajectory_id] = "FROZEN"
         self._find(trajectory_id)
+
+    def finish_trajectory(self, trajectory_id: int) -> None:
+        """PoseGraphInterface::FinishTrajectory state transition."""
+        if self.trajectory_states.get(trajectory_id) != "FROZEN":
+            self.trajectory_states[trajectory_id] = "FINISHED"
+
+    def delete_trajectory(self, trajectory_id: int) -> None:
+        """PoseGraph2D::DeleteTrajectory: purge the trajectory's submaps,
+        nodes, constraints, and sensor streams (pose_graph_2d.cc wait-for-
+        deletion semantics collapse to an immediate purge in the synchronous
+        build)."""
+        for sid in self.get_submap_ids(trajectory_id):
+            self.trim_submap(sid)
+        for (tid, nindex), _ in list(self.nodes.items()):
+            if tid == trajectory_id:
+                del self.nodes[NodeId(tid, nindex)]
+        self.constraints = [
+            c for c in self.constraints
+            if (c.submap_id.trajectory_id != trajectory_id
+                and c.node_id.trajectory_id != trajectory_id)]
+        for store in (self._odometry_data, self._fixed_frame_data):
+            try:
+                store.delete_trajectory(trajectory_id)
+            except (AttributeError, KeyError):
+                pass
+        self._landmark_observations = [
+            (tid, d) for (tid, d) in self._landmark_observations
+            if tid != trajectory_id]
+        self._frozen_trajectories.discard(trajectory_id)
+        self.trajectory_states[trajectory_id] = "DELETED"
+
+    def set_landmark_pose(self, landmark_id: str, global_pose,
+                          frozen: bool = False) -> None:
+        """PoseGraphInterface::SetLandmarkPose; pose is (x, y, yaw)."""
+        self.landmark_poses[landmark_id] = np.asarray(global_pose, np.float64)
+        if frozen:
+            self._frozen_landmarks.add(landmark_id)
+
+    def get_landmark_poses(self) -> Dict[str, np.ndarray]:
+        return dict(self.landmark_poses)
 
     def num_inter_constraints(self) -> int:
         return sum(1 for c in self.constraints if c.tag == "INTER_SUBMAP")

@@ -113,6 +113,11 @@ class PoseGraph3D:
         from cartographer_tpu.sensor.map_by_time import MapByTime
         self._imu_data: MapByTime = MapByTime()
         self._odometry_data: MapByTime = MapByTime()
+        self.landmark_poses: Dict[str, np.ndarray] = {}
+        self._frozen_landmarks: Set[str] = set()
+        self._global_optimization_callbacks: List = []
+        # PoseGraphInterface::TrajectoryState
+        self.trajectory_states: Dict[int, str] = {}
 
     # ---------------------------------------------------------- sensor intake
 
@@ -180,6 +185,7 @@ class PoseGraph3D:
                  insertion_submaps: List[Submap3D],
                  finished_submaps: List[Submap3D]) -> NodeId:
         self._find(trajectory_id)
+        self.trajectory_states.setdefault(trajectory_id, "ACTIVE")
         node_index = self.nodes.append(trajectory_id, node)
         node_id = NodeId(trajectory_id, node_index)
 
@@ -453,13 +459,51 @@ class PoseGraph3D:
             self.nodes[nid].global_t = t_out[slot]
             self.nodes[nid].global_q = q_out[slot]
         self._num_nodes_since_last_optimization = 0
+        for cb in self._global_optimization_callbacks:
+            cb()
+
+    def set_global_slam_optimization_callback(self, cb) -> None:
+        self._global_optimization_callbacks.append(cb)
 
     def run_final_optimization(self) -> None:
         self.run_optimization(self._options.max_num_final_iterations)
 
     def freeze_trajectory(self, trajectory_id: int) -> None:
         self._frozen_trajectories.add(trajectory_id)
+        self.trajectory_states[trajectory_id] = "FROZEN"
         self._find(trajectory_id)
+
+    def finish_trajectory(self, trajectory_id: int) -> None:
+        if self.trajectory_states.get(trajectory_id) != "FROZEN":
+            self.trajectory_states[trajectory_id] = "FINISHED"
+
+    def delete_trajectory(self, trajectory_id: int) -> None:
+        """PoseGraph3D::DeleteTrajectory (immediate purge, see 2D docstring)."""
+        for (tid, sindex), _ in list(self.submap_data.items()):
+            if tid == trajectory_id:
+                del self.submap_data[SubmapId(tid, sindex)]
+                self._samplers.pop(SubmapId(tid, sindex), None)
+                self._pyramids.pop(SubmapId(tid, sindex), None)
+        for (tid, nindex), _ in list(self.nodes.items()):
+            if tid == trajectory_id:
+                del self.nodes[NodeId(tid, nindex)]
+        self.constraints = [
+            c for c in self.constraints
+            if (c.submap_id.trajectory_id != trajectory_id
+                and c.node_id.trajectory_id != trajectory_id)]
+        self._imu_data.delete_trajectory(trajectory_id)
+        self._odometry_data.delete_trajectory(trajectory_id)
+        self._frozen_trajectories.discard(trajectory_id)
+        self.trajectory_states[trajectory_id] = "DELETED"
+
+    def set_landmark_pose(self, landmark_id: str, global_pose,
+                          frozen: bool = False) -> None:
+        self.landmark_poses[landmark_id] = np.asarray(global_pose, np.float64)
+        if frozen:
+            self._frozen_landmarks.add(landmark_id)
+
+    def get_landmark_poses(self) -> Dict[str, np.ndarray]:
+        return dict(self.landmark_poses)
 
     def num_inter_constraints(self) -> int:
         return sum(1 for c in self.constraints if c.tag == "INTER_SUBMAP")

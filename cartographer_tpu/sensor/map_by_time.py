@@ -52,3 +52,6 @@ class MapByTime(Generic[T]):
 
     def trajectory_ids(self) -> List[int]:
         return sorted(self._data.keys())
+
+    def delete_trajectory(self, trajectory_id: int) -> None:
+        self._data.pop(trajectory_id, None)

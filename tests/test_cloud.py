@@ -174,3 +174,76 @@ class TestTwoTier:
             stub.close()
         finally:
             tier1.shutdown()
+
+
+class TestExtendedRpcs:
+    """The remaining MapBuilderService RPC surface
+    (map_builder_service.proto:285-352): trajectory states & deletion,
+    landmark get/set, state file IO, global-SLAM subscriptions."""
+
+    def test_states_delete_landmarks_and_state_files(self, tmp_path):
+        import grpc
+        import threading
+
+        server = make_server()
+        server.start()
+        try:
+            stub = MapBuilderStub(f"localhost:{server.port}")
+            tid = stub.add_trajectory_builder(["laser"])
+
+            # Subscribe to global optimizations before driving data.
+            events = []
+            sub = stub.receive_global_slam_optimizations()
+
+            def consume():
+                try:
+                    for msg in sub:
+                        events.append(msg)
+                except Exception:
+                    pass
+
+            t = threading.Thread(target=consume, daemon=True)
+            t.start()
+
+            drive_scans(stub, tid, num=10)
+
+            # DeleteTrajectory on an ACTIVE trajectory must be refused
+            # (DeleteTrajectoryHandler precondition).
+            with pytest.raises(grpc.RpcError) as exc:
+                stub.pose_graph.delete_trajectory(tid)
+            assert exc.value.code() == grpc.StatusCode.FAILED_PRECONDITION
+
+            states = stub.pose_graph.get_trajectory_states()
+            assert states[tid] == "ACTIVE"
+
+            # Landmark set/get through the network path.
+            stub.pose_graph.set_landmark_pose("lm0", [1.0, 2.0, 0.5], frozen=True)
+            lms = stub.pose_graph.get_landmark_poses()
+            assert np.allclose(lms["lm0"], [1.0, 2.0, 0.5])
+
+            stub.finish_trajectory(tid)
+            stub.pose_graph.run_final_optimization()
+            assert stub.pose_graph.get_trajectory_states()[tid] == "FINISHED"
+
+            # Global-SLAM optimization event was streamed to the subscriber.
+            deadline = time.time() + 5
+            while not events and time.time() < deadline:
+                time.sleep(0.05)
+            assert events, "no global slam optimization event received"
+            assert "last_optimized_node_index" in events[0]
+            sub.cancel()
+
+            # State file round-trip on the server's filesystem.
+            path = str(tmp_path / "state.pbstream")
+            assert stub.write_state_to_file(path)
+            remap = stub.load_state_from_file(path, load_frozen_state=True)
+            assert len(remap) == 1
+
+            # FINISHED trajectory can now be deleted.
+            stub.pose_graph.delete_trajectory(tid)
+            assert stub.pose_graph.get_trajectory_states()[tid] == "DELETED"
+            node_poses = stub.pose_graph.get_trajectory_node_poses()
+            assert all(p["trajectory_id"] != tid for p in node_poses)
+            stub.close()
+        finally:
+            server.shutdown()

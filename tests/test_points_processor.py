@@ -136,3 +136,58 @@ class TestPbstreamCli:
         records = [msgpack.unpackb(r, raw=False) for r in ProtoStreamReader(str(out))]
         assert records[0]["format_version"] == 2
         assert records[1]["finished"] is True  # v1->v2 migration default
+
+
+class TestGridWritingProcessors:
+    def _batches(self):
+        from cartographer_tpu.io.points_processor import PointsBatch
+        rng = np.random.RandomState(3)
+        batches = []
+        for i in range(3):
+            origin = np.array([0.1 * i, 0.0, 0.5])
+            # wall of points at x=2
+            pts = np.stack([np.full(50, 2.0), rng.uniform(-1, 1, 50),
+                            np.full(50, 0.5)], -1)
+            batches.append(PointsBatch(origin=origin, points=pts))
+        return batches
+
+    def test_write_probability_grid_png(self, tmp_path):
+        from cartographer_tpu.io.points_processor import build_pipeline, run_pipeline
+        path = str(tmp_path / "grid.png")
+        pipe = build_pipeline([{"action": "write_probability_grid",
+                                "resolution": 0.05, "filename": path,
+                                "draw_trajectories": False}])
+        run_pipeline(pipe, self._batches)
+        from PIL import Image
+        img = np.asarray(Image.open(path))
+        assert img.size > 0
+        # hit cells dark (occupied), free-space lighter than unknown mid-gray
+        assert img.min() < 100 and img.max() > 128
+
+    def test_write_probability_grid_pb(self, tmp_path):
+        import msgpack
+        from cartographer_tpu.io.points_processor import build_pipeline, run_pipeline
+        path = str(tmp_path / "grid.pb")
+        pipe = build_pipeline([{"action": "write_probability_grid",
+                                "resolution": 0.05, "filename": path,
+                                "output_type": "pb"}])
+        run_pipeline(pipe, self._batches)
+        d = msgpack.unpackb(open(path, "rb").read(), raw=False)
+        probs = np.frombuffer(d["probabilities"], np.float32)
+        assert d["num_cells"] == len(probs) > 0
+        assert probs.max() > 0.5 and probs.min() < 0.5
+
+    def test_write_hybrid_grid(self, tmp_path):
+        import msgpack
+        from cartographer_tpu.io.points_processor import build_pipeline, run_pipeline
+        path = str(tmp_path / "grid3d.msgpack")
+        pipe = build_pipeline([{"action": "write_hybrid_grid",
+                                "voxel_size": 0.1, "filename": path}])
+        run_pipeline(pipe, self._batches)
+        d = msgpack.unpackb(open(path, "rb").read(), raw=False)
+        cells = np.frombuffer(d["cells"], np.int64).reshape(-1, 3)
+        probs = np.frombuffer(d["probabilities"], np.float32)
+        assert len(cells) == d["num_cells"] > 0
+        # occupied voxels at the wall x=2: cell x index = 2/0.1 = 20
+        occ = cells[probs > 0.5]
+        assert np.any(occ[:, 0] == 20)
