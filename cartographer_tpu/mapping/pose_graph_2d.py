@@ -23,7 +23,7 @@ import numpy as np
 
 from cartographer_tpu.core.config import PoseGraphOptions
 from cartographer_tpu.core.sampler import FixedRatioSampler
-from cartographer_tpu.core.time import Time
+from cartographer_tpu.core.time import Time, from_seconds
 from cartographer_tpu.mapping.constraint_builder_2d import Constraint, ConstraintBuilder2D
 from cartographer_tpu.mapping.id import MapById, NodeId, SubmapId
 from cartographer_tpu.mapping.submap_2d import Submap2D
@@ -106,9 +106,12 @@ class PoseGraph2D:
         self.submap_data: MapById[SubmapDataEntry] = MapById()
         self.constraints: List[Constraint] = []
         self._num_nodes_since_last_optimization = 0
-        self._global_sampler = FixedRatioSampler(options.global_sampling_ratio)
+        # Per-trajectory global localization samplers
+        # (pose_graph_2d.cc:200-205).
+        self._global_samplers: Dict[int, FixedRatioSampler] = {}
         self._frozen_trajectories: Set[int] = set()
-        self._connected: Dict[int, int] = {}  # union-find parent
+        from cartographer_tpu.mapping.connectivity import TrajectoryConnectivityState
+        self._connectivity = TrajectoryConnectivityState()
         self._global_optimization_callbacks = []
         self._trimmers: List = []
         # Sensor streams for the optimization problem
@@ -125,19 +128,20 @@ class PoseGraph2D:
     # ------------------------------------------------------------ connectivity
 
     def _find(self, t: int) -> int:
-        self._connected.setdefault(t, t)
-        while self._connected[t] != t:
-            self._connected[t] = self._connected[self._connected[t]]
-            t = self._connected[t]
-        return t
+        self._connectivity.add(t)
+        return self._connectivity._find(t)
 
-    def _union(self, a: int, b: int) -> None:
-        ra, rb = self._find(a), self._find(b)
-        if ra != rb:
-            self._connected[ra] = rb
+    def _union(self, a: int, b: int, time: Time = 0) -> None:
+        self._connectivity.connect(a, b, time)
 
     def transitively_connected(self, a: int, b: int) -> bool:
-        return self._find(a) == self._find(b)
+        return self._connectivity.transitively_connected(a, b)
+
+    def _global_sampler_for(self, trajectory_id: int) -> FixedRatioSampler:
+        if trajectory_id not in self._global_samplers:
+            self._global_samplers[trajectory_id] = FixedRatioSampler(
+                self._options.global_sampling_ratio)
+        return self._global_samplers[trajectory_id]
 
     # ------------------------------------------------------------ node intake
 
@@ -321,11 +325,18 @@ class PoseGraph2D:
         anchor = self._submap_local_pose_2d(entry.submap)
 
         with self._result_lock:
-            connected = self.transitively_connected(
+            # Recency gate (pose_graph_2d.cc:277-289): local window only when
+            # the trajectories were DIRECTLY connected recently; a stale
+            # connection falls back to sampled global search.
+            last_conn = self._connectivity.last_connection_time(
                 node_id.trajectory_id, submap_id.trajectory_id)
+            recent = (last_conn is not None and node.time < last_conn
+                      + from_seconds(
+                          self._options.global_constraint_search_after_n_seconds))
             is_local = (node_id.trajectory_id == submap_id.trajectory_id
-                        or connected)
-            global_pulse = False if is_local else self._global_sampler.pulse()
+                        or recent)
+            global_pulse = (False if is_local else
+                            self._global_sampler_for(node_id.trajectory_id).pulse())
         constraint = None
         if is_local:
             # Node pose estimate in the grid (local) frame:
@@ -343,7 +354,10 @@ class PoseGraph2D:
             constraint.rel = _compose2d(_inverse2d(anchor), constraint.rel)
             with self._result_lock:
                 self.constraints.append(constraint)
-                self._union(node_id.trajectory_id, submap_id.trajectory_id)
+                # Connect with the node time so the recency window starts now
+                # (pose_graph_2d.cc:422 HandleWorkQueue).
+                self._union(node_id.trajectory_id, submap_id.trajectory_id,
+                            node.time)
             self._metric_inter.increment()
 
     # ------------------------------------------------------------ optimization

@@ -108,7 +108,8 @@ class PoseGraph3D:
         self._samplers: Dict[SubmapId, FixedRatioSampler] = {}
         self._pyramids: Dict[SubmapId, jnp.ndarray] = {}
         self._frozen_trajectories: Set[int] = set()
-        self._connected: Dict[int, int] = {}
+        from cartographer_tpu.mapping.connectivity import TrajectoryConnectivityState
+        self._connectivity = TrajectoryConnectivityState()
         self._match_fn = None  # jitted lazily per grid shape
         from cartographer_tpu.sensor.map_by_time import MapByTime
         self._imu_data: MapByTime = MapByTime()
@@ -165,19 +166,14 @@ class PoseGraph3D:
     # ---------------------------------------------------------- connectivity
 
     def _find(self, t: int) -> int:
-        self._connected.setdefault(t, t)
-        while self._connected[t] != t:
-            self._connected[t] = self._connected[self._connected[t]]
-            t = self._connected[t]
-        return t
+        self._connectivity.add(t)
+        return self._connectivity._find(t)
 
-    def _union(self, a: int, b: int) -> None:
-        ra, rb = self._find(a), self._find(b)
-        if ra != rb:
-            self._connected[ra] = rb
+    def _union(self, a: int, b: int, time: Time = 0) -> None:
+        self._connectivity.connect(a, b, time)
 
     def transitively_connected(self, a: int, b: int) -> bool:
-        return self._find(a) == self._find(b)
+        return self._connectivity.transitively_connected(a, b)
 
     # ---------------------------------------------------------- node intake
 
@@ -320,7 +316,7 @@ class PoseGraph3D:
             translation_weight=self._options.constraint_builder.loop_closure_translation_weight,
             rotation_weight=self._options.constraint_builder.loop_closure_rotation_weight,
             tag="INTER_SUBMAP"))
-        self._union(node_id.trajectory_id, submap_id.trajectory_id)
+        self._union(node_id.trajectory_id, submap_id.trajectory_id, node.time)
 
     # ---------------------------------------------------------- optimization
 

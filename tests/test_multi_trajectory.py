@@ -81,3 +81,30 @@ def test_second_trajectory_globally_localizes():
         errs.append(np.linalg.norm(node.global_pose_2d[:2] - poses_b[gi][0]))
     assert errs, "no nodes for trajectory B"
     assert float(np.mean(errs)) < 0.15, np.mean(errs)
+
+
+def test_trajectory_connectivity_last_connection_time():
+    """trajectory_connectivity_state.cc:26-55: joining two components stamps
+    every bipartite pair; recency gates local vs global search."""
+    from cartographer_tpu.mapping.connectivity import TrajectoryConnectivityState
+
+    c = TrajectoryConnectivityState()
+    for t in range(4):
+        c.add(t)
+    c.connect(0, 1, 100)
+    c.connect(2, 3, 200)
+    assert c.transitively_connected(0, 1)
+    assert not c.transitively_connected(0, 2)
+    assert c.last_connection_time(0, 1) == 100
+    assert c.last_connection_time(0, 2) is None
+    # joining the two components stamps all bipartite pairs
+    c.connect(1, 2, 300)
+    for a in (0, 1):
+        for b in (2, 3):
+            assert c.last_connection_time(a, b) == 300, (a, b)
+    # re-connecting an already-connected pair only moves the time forward
+    c.connect(0, 1, 50)
+    assert c.last_connection_time(0, 1) == 100
+    c.connect(0, 1, 400)
+    assert c.last_connection_time(0, 1) == 400
+    assert sorted(map(tuple, c.components())) == [(0, 1, 2, 3)]
