@@ -262,18 +262,11 @@ def _insert_range_data_polar(
     bin_cell = jnp.clip(
         ((theta_cell + jnp.pi) * (num_bins / (2 * jnp.pi))).astype(jnp.int32),
         0, num_bins - 1)
-    # Threshold lookup as a one-hot matmul (gathers are near-serial on TPU),
-    # chunked so the one-hot operand stays ~64 MB.
-    flat_bins = bin_cell.reshape(-1)
-    chunk = 32768
-    pad = (-flat_bins.shape[0]) % chunk
-    padded_bins = jnp.pad(flat_bins, (0, pad)).reshape(-1, chunk)
-    rimg = range_img.astype(jnp.float32)
+    # Per-cell range-image threshold via the factored two-level lookup
+    # (ops/onehot.table_lookup): exact, gather-free, ~4x cheaper than a flat
+    # one-hot contraction over all bins.
+    from cartographer_tpu.ops.onehot import table_lookup
 
-    def lookup(b):
-        oh = onehot_rows(b, jnp.ones(chunk, bool), num_bins)
-        return jnp.dot(oh, rimg, preferred_element_type=jnp.float32)
-
-    thresholds = jax.lax.map(lookup, padded_bins).reshape(-1)[: s * s].reshape(s, s)
+    thresholds = table_lookup(range_img.astype(jnp.float32), bin_cell)
     free_mask = (r_cell < thresholds - 0.5 * res) & ~hit_mask
     return _apply_masks(grid, hit_mask, free_mask, hit_probability, miss_probability)

@@ -79,6 +79,22 @@ class PointCloud:
     def filter_mask(self, keep: jnp.ndarray) -> "PointCloud":
         return dataclasses.replace(self, mask=self.mask & keep)
 
+    def compact(self, capacity: int) -> "PointCloud":
+        """Pack valid points to the front and truncate to `capacity`.
+
+        The adaptive voxel filter keeps ~min_num_points of a much larger
+        padded cloud; downstream matchers pay per-capacity cost (count-image
+        matmuls scale with N), so shrinking the static capacity after
+        filtering is a direct hot-path win. Points beyond `capacity` are
+        dropped (callers size capacity >= the filter's target point count).
+        """
+        order = jnp.argsort(~self.mask, stable=True)[:capacity]
+        return PointCloud(
+            points=self.points[order],
+            mask=self.mask[order],
+            intensities=self.intensities[order],
+        )
+
     def to_numpy(self) -> np.ndarray:
         """Valid points as a dense (n, D) numpy array (host sync)."""
         m = np.asarray(self.mask)

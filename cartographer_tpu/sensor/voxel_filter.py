@@ -23,21 +23,6 @@ _ADAPTIVE_COARSE_STEPS = 7  # max_length/2^7 < 1e-2*max_length stopping rule
 _ADAPTIVE_BISECT_STEPS = 5  # until (high-low)/low <= 10%
 
 
-def _voxel_keys(points: jnp.ndarray, mask: jnp.ndarray, resolution):
-    """Per-axis voxel indices (D arrays of int32); invalid points get a
-    sentinel so they sort last and never merge with real voxels.
-
-    Mirrors GetVoxelCellIndex (voxel_filter.cc:78-86): round(point/resolution)
-    — but kept as separate int32 columns (multi-key lexsort) instead of a
-    packed int64, since device int64 is unavailable without x64 mode.
-    """
-    idx = jnp.floor(points / resolution + 0.5).astype(jnp.int32)
-    sentinel = jnp.int32(2**31 - 1)
-    return tuple(
-        jnp.where(mask, idx[..., d], sentinel) for d in range(points.shape[-1])
-    )
-
-
 def _run_boundaries(sorted_keys) -> jnp.ndarray:
     """True where sorted_keys[i] != sorted_keys[i+1] in any component."""
     diff = None
@@ -47,17 +32,53 @@ def _run_boundaries(sorted_keys) -> jnp.ndarray:
     return diff
 
 
+_PACK_BIAS = 1 << 15  # per-axis voxel indices packed as biased 16-bit fields
+
+
+def _packed_voxel_keys(points: jnp.ndarray, mask: jnp.ndarray, resolution):
+    """Voxel key packed into 1 (2D) or 2 (3D) uint32 sort keys.
+
+    Sorting one machine word is ~3x cheaper on TPU than a 3-operand lexsort
+    and the adaptive filter sorts ~14 times per scan, so this is the hot
+    path. Indices are clipped to +-2^15 cells — valid while
+    max_range / resolution < 32768 (always true for the reference's configs:
+    the adaptive filter caps range at max_range and halves the edge at most
+    7 times). Masked points get the max key so they sort last and never
+    merge with real voxels.
+    """
+    idx = jnp.clip(
+        jnp.floor(points / resolution + 0.5).astype(jnp.int32),
+        -_PACK_BIAS, _PACK_BIAS - 1,
+    ) + _PACK_BIAS  # non-negative 16-bit fields
+    idx = idx.astype(jnp.uint32)
+    d = points.shape[-1]
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    kxy = (idx[..., 0] << 16) | idx[..., 1]
+    if d == 2:
+        return (jnp.where(mask, kxy, sentinel),)
+    return (jnp.where(mask, kxy, sentinel),
+            jnp.where(mask, idx[..., 2], sentinel))
+
+
 def voxel_filter_mask(points: jnp.ndarray, mask: jnp.ndarray, resolution,
                       seed: jnp.ndarray) -> jnp.ndarray:
-    """Boolean keep-mask selecting one random point per occupied voxel."""
+    """Boolean keep-mask selecting one random point per occupied voxel.
+
+    Reservoir semantics via shuffle-then-stable-sort: a seed-derived random
+    permutation of the points, a stable sort by packed voxel key, and taking
+    the last point of each equal-key run picks a uniformly random
+    representative per voxel (voxel_filter.cc RandomizedVoxelFilter).
+    """
     n = points.shape[0]
-    keys = _voxel_keys(points, mask, resolution)
-    prio = jax.random.uniform(jax.random.PRNGKey(0) if seed is None else seed, (n,))
-    order = jnp.lexsort((prio,) + keys[::-1])  # by (key0, key1, ..., priority)
-    sorted_keys = tuple(k[order] for k in keys)
+    perm = jax.random.permutation(
+        jax.random.PRNGKey(0) if seed is None else seed, n)
+    keys = _packed_voxel_keys(points[perm], mask[perm], resolution)
+    sorted_ops = jax.lax.sort(keys + (perm,), num_keys=len(keys),
+                              is_stable=True)
+    sorted_keys, sorted_ids = sorted_ops[:-1], sorted_ops[-1]
     # Last element of each run of equal keys is the reservoir pick.
     is_last = jnp.concatenate([_run_boundaries(sorted_keys), jnp.array([True])])
-    keep = jnp.zeros(n, bool).at[order].set(is_last)
+    keep = jnp.zeros(n, bool).at[sorted_ids].set(is_last)
     return keep & mask
 
 
@@ -123,7 +144,7 @@ def voxel_filter_edge(cloud: PointCloud, resolution: float,
     keeps points whose voxel population < max_population * voxel_edge_ratio,
     i.e. points on sparsely-sampled structure (edges) survive.
     """
-    keys = _voxel_keys(cloud.points, cloud.mask, resolution)
+    keys = _packed_voxel_keys(cloud.points, cloud.mask, resolution)
     order = jnp.lexsort(keys[::-1])
     sorted_keys = tuple(k[order] for k in keys)
     run_start = jnp.concatenate([jnp.array([True]), _run_boundaries(sorted_keys)])
