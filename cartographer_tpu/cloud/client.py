@@ -107,6 +107,11 @@ class PoseGraphStub:
     def get_landmark_poses(self) -> Dict[str, list]:
         return self._unary("GetLandmarkPoses", {})["landmark_poses"]
 
+    def get_local_to_global_transform(self, trajectory_id: int):
+        """Local→global offset of a trajectory ([x,y,theta] 2D or {t,q} 3D)."""
+        return self._unary("GetLocalToGlobalTransform",
+                           {"trajectory_id": trajectory_id})["transform"]
+
     def set_landmark_pose(self, landmark_id: str, pose, frozen: bool = False) -> None:
         self._unary("SetLandmarkPose", {
             "landmark_id": landmark_id,

@@ -290,7 +290,16 @@ class MapBuilderServer:
         return {"constraints": out}
 
     def _get_local_to_global(self, request, context):
-        # Identity until optimization moves things; 2D only for now.
+        """Reference GetLocalToGlobalTransformHandler: last-submap offset."""
+        tid = request["trajectory_id"]
+        pg = self.map_builder.pose_graph
+        if hasattr(pg, "local_to_global"):
+            out = pg.local_to_global(tid)
+            if isinstance(out, tuple):  # 3D: (t, q)
+                t, q = out
+                return {"transform": {"t": [float(x) for x in t],
+                                      "q": [float(x) for x in q]}}
+            return {"transform": [float(x) for x in out]}
         return {"transform": [0.0, 0.0, 0.0]}
 
     def _is_trajectory_finished(self, request, context):

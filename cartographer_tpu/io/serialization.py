@@ -5,8 +5,9 @@ stream order is SerializationHeader{format_version} -> PoseGraph ->
 AllTrajectoryBuilderOptions -> Submap* -> Node* -> TrajectoryData -> sensor
 data. This module keeps the same record order and versioning (version 2;
 a v1->v2 migration hook mirrors io/serialization_format_migration.cc), with
-msgpack payloads. Node clouds are stored quantized to int16 at millimeter
-resolution — the counterpart of the reference's CompressedPointCloud
+msgpack payloads. Node clouds are stored via sensor.compression
+CompressedPointCloud (block keys + uint8 offsets at 1 mm precision), the
+counterpart of the reference's CompressedPointCloud
 (sensor/compressed_point_cloud.cc, ~1/3 byte-per-dim block compression).
 """
 
@@ -30,7 +31,7 @@ from cartographer_tpu.mapping.submap_2d import Submap2D
 from cartographer_tpu.ops.grid_2d import Grid2D
 
 SERIALIZATION_FORMAT_VERSION = 2
-_CLOUD_QUANT = 1000.0  # mm quantization for node clouds
+_CLOUD_QUANT = 1000.0  # legacy mm quantization (v2 streams written by round 1)
 
 
 def _nd(a: np.ndarray) -> Dict[str, Any]:
@@ -52,12 +53,18 @@ def _unpack(data: bytes):
 
 
 def _quantize_cloud(points: np.ndarray) -> Dict[str, Any]:
-    q = np.clip(np.round(points * _CLOUD_QUANT), -32767, 32767).astype(np.int16)
-    return _nd(q)
+    """Block-compress a node cloud (sensor/compressed_point_cloud.cc analog)."""
+    from cartographer_tpu.sensor.compression import compress_cloud
+
+    return compress_cloud(np.asarray(points, np.float64))
 
 
 def _dequantize_cloud(d) -> np.ndarray:
-    return _un_nd(d).astype(np.float64) / _CLOUD_QUANT
+    from cartographer_tpu.sensor.compression import decompress_cloud
+
+    if isinstance(d, dict) and d.get("__nd__"):  # legacy int16 mm payloads
+        return _un_nd(d).astype(np.float64) / _CLOUD_QUANT
+    return decompress_cloud(d)
 
 
 def serialize_state(pose_graph, writer: ProtoStreamWriter,

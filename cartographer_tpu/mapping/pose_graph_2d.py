@@ -665,3 +665,22 @@ class PoseGraph2D:
 
     def submap_global_poses(self) -> Dict[SubmapId, np.ndarray]:
         return {SubmapId(t, i): e.global_pose_2d for (t, i), e in self.submap_data.items()}
+
+    def local_to_global(self, trajectory_id: int) -> np.ndarray:
+        """Local SLAM frame → global frame transform for a trajectory.
+
+        Reference pose_graph_2d.cc ComputeLocalToGlobalTransform: the last
+        submap of the trajectory defines the offset
+        global_submap_pose * local_submap_pose^-1; identity before any submap
+        exists. Returned as a [x, y, theta] SE(2) pose.
+        """
+        with self._result_lock:
+            last = None
+            for (t, i), entry in self.submap_data.items():
+                if t == trajectory_id and (last is None or i > last[0]):
+                    last = (i, entry)
+            if last is None:
+                return np.zeros(3)
+            entry = last[1]
+            local = self._submap_local_pose_2d(entry.submap)
+            return _compose2d(entry.global_pose_2d, _inverse2d(local))

@@ -503,3 +503,21 @@ class PoseGraph3D:
 
     def num_inter_constraints(self) -> int:
         return sum(1 for c in self.constraints if c.tag == "INTER_SUBMAP")
+
+    def local_to_global(self, trajectory_id: int):
+        """Local SLAM frame → global frame SE(3) transform (t, q).
+
+        Reference pose_graph_3d.cc ComputeLocalToGlobalTransform: offset of
+        the trajectory's last submap, global_pose * local_pose^-1; identity
+        before any submap exists.
+        """
+        last = None
+        for (t, i), entry in self.submap_data.items():
+            if t == trajectory_id and (last is None or i > last[0]):
+                last = (i, entry)
+        if last is None:
+            return np.zeros(3), np.array([1.0, 0.0, 0.0, 0.0])
+        entry = last[1]
+        it, iq = _inverse(np.asarray(entry.submap.local_pose_translation, float),
+                          np.asarray(entry.submap.local_pose_rotation, float))
+        return _compose(entry.global_t, entry.global_q, it, iq)

@@ -212,7 +212,7 @@ def _insert_range_data_polar(
     num_bins: int = 1024,
 ) -> Grid2D:
     """Polar free-space rasterization (see insert_range_data docstring)."""
-    from cartographer_tpu.ops.onehot import occupancy_mask, onehot_rows
+    from cartographer_tpu.ops.onehot import occupancy_mask
 
     s = grid.size
     hits = range_data.returns

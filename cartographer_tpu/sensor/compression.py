@@ -64,3 +64,47 @@ class CompressedPointCloud:
     def num_bytes(self) -> int:
         return (self._block_keys.nbytes + self._block_starts.nbytes
                 + self._offsets.nbytes)
+
+    def to_dict(self) -> dict:
+        """Serializable payload (block keys + starts + uint8 offsets)."""
+        return {
+            "n": self._num_points,
+            "keys": self._block_keys.tobytes(),
+            "starts": self._block_starts.tobytes(),
+            "offsets": self._offsets.tobytes(),
+            "order": self._order.astype(np.int32).tobytes(),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "CompressedPointCloud":
+        out = cls.__new__(cls)
+        out._num_points = d["n"]
+        out._block_keys = np.frombuffer(d["keys"], np.int32).reshape(-1, 3).copy()
+        out._block_starts = np.frombuffer(d["starts"], np.int32).copy()
+        out._offsets = np.frombuffer(d["offsets"], np.uint8).reshape(-1, 3).copy()
+        out._order = np.frombuffer(d["order"], np.int32).astype(np.int64).copy()
+        return out
+
+
+def compress_cloud(points: np.ndarray) -> dict:
+    """Compress an (n, 2) or (n, 3) cloud to a serializable dict.
+
+    Used by io/serialization.py for node clouds, matching the reference's
+    storage of pose-graph nodes as CompressedPointCloud
+    (trajectory_node.h / mapping_state_serialization.cc). 2D clouds are
+    embedded at z=0 and the original dimensionality recorded.
+    """
+    points = np.asarray(points, np.float64)
+    dim = points.shape[1] if points.ndim == 2 and len(points) else (
+        points.shape[1] if points.ndim == 2 else 3)
+    if dim == 2:
+        points = np.concatenate([points, np.zeros((len(points), 1))], axis=1)
+    d = CompressedPointCloud(points).to_dict()
+    d["dim"] = dim
+    return d
+
+
+def decompress_cloud(d: dict) -> np.ndarray:
+    """Inverse of compress_cloud, restoring input order and dimensionality."""
+    pts = CompressedPointCloud.from_dict(d).decompress_in_input_order()
+    return pts[:, : d.get("dim", 3)]

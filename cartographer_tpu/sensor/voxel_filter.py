@@ -41,15 +41,19 @@ def _packed_voxel_keys(points: jnp.ndarray, mask: jnp.ndarray, resolution):
     Sorting one machine word is ~3x cheaper on TPU than a 3-operand lexsort
     and the adaptive filter sorts ~14 times per scan, so this is the hot
     path. Indices are clipped to +-2^15 cells — valid while
-    max_range / resolution < 32768 (always true for the reference's configs:
+    max_range / resolution < 32767 (always true for the reference's configs:
     the adaptive filter caps range at max_range and halves the edge at most
-    7 times). Masked points get the max key so they sort last and never
-    merge with real voxels.
+    7 times); callers with finer resolutions must check this themselves.
+    Masked points get the max key so they sort last and never merge with
+    real voxels; valid indices are clipped to _PACK_BIAS-2 so no packed key
+    of a valid point can equal the 0xFFFFFFFF sentinel.
     """
+    if isinstance(resolution, (int, float)):
+        assert resolution > 0, "voxel resolution must be positive"
     idx = jnp.clip(
         jnp.floor(points / resolution + 0.5).astype(jnp.int32),
-        -_PACK_BIAS, _PACK_BIAS - 1,
-    ) + _PACK_BIAS  # non-negative 16-bit fields
+        -_PACK_BIAS, _PACK_BIAS - 2,
+    ) + _PACK_BIAS  # non-negative 16-bit fields, max 0xFFFE per field
     idx = idx.astype(jnp.uint32)
     d = points.shape[-1]
     sentinel = jnp.uint32(0xFFFFFFFF)
