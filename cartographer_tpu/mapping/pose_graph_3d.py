@@ -279,7 +279,8 @@ class PoseGraph3D:
         if submap_id not in self._pyramids:
             self._pyramids[submap_id] = build_precomputation_pyramid_3d(
                 entry.submap.high_grid.probability(),
-                self._bnb_params.branch_and_bound_depth)
+                self._bnb_params.branch_and_bound_depth,
+                self._bnb_params.full_resolution_depth)
         pyramid = self._pyramids[submap_id]
 
         def pad_cloud(cloud, cap):

@@ -12,6 +12,19 @@ TPU design mirrors bnb_2d: level-synchronous beam search with batched
 scoring; each level splits candidates into 8 children. The rotational filter
 and the low-resolution gate run as vectorized masks on the same candidate
 arrays.
+
+Memory/compile design (fast_correlative_scan_matcher_3d.cc:61-69,
+precomputation_grid_3d.cc PrecomputeGrid half_resolution): only the first
+`full_resolution_depth` pyramid levels are stored at full resolution; every
+deeper level halves the linear grid size (reduction exponent
+re = depth - full_resolution_depth + 1, index math is arithmetic right
+shift, rounding toward -inf exactly like the reference's
+DivideByTwoRoundingTowardsNegativeInfinity). Levels are quantized to uint8
+(precomputation_grid_3d.h:26), so a depth-8 stack over a 256^3 grid costs
+~60 MB instead of the 512 MB a full-resolution f32 stack would. The beam
+loop runs as two `lax.scan`s (one over the equal-shaped coarse levels, one
+over the full-resolution levels) instead of a Python-unrolled loop, keeping
+compile time flat in branch_and_bound_depth.
 """
 
 from __future__ import annotations
@@ -24,16 +37,22 @@ import jax
 import jax.numpy as jnp
 
 from cartographer_tpu.ops.grid_3d import Grid3D
-from cartographer_tpu.ops.probability import UNKNOWN_PROBABILITY
+from cartographer_tpu.ops.probability import (
+    MAX_PROBABILITY,
+    MIN_PROBABILITY,
+    UNKNOWN_PROBABILITY,
+)
 from cartographer_tpu.ops.rot_histogram import match_histograms
 from cartographer_tpu.transform import quaternion as quat
 from cartographer_tpu.transform.rigid import Rigid3
+
+_Q_SCALE = (MAX_PROBABILITY - MIN_PROBABILITY) / 255.0  # uint8 <-> probability
 
 
 @dataclasses.dataclass(frozen=True)
 class FastCorrelativeMatcherParams3D:
     branch_and_bound_depth: int = 8
-    full_resolution_depth: int = 3  # kept for config parity (pyramid is full-res)
+    full_resolution_depth: int = 3
     min_rotational_score: float = 0.77
     min_low_resolution_score: float = 0.55
     linear_xy_search_window: float = 5.0
@@ -48,42 +67,119 @@ class FastCorrelativeMatcherParams3D:
         return 2 * int(math.ceil(self.angular_search_window / step)) + 1
 
 
-def build_precomputation_pyramid_3d(prob: jnp.ndarray, depth: int) -> jnp.ndarray:
-    """(depth, S, S, S); level h = max over [idx, idx + 2^h) per axis
-    (PrecomputationGrid3D, log-doubling construction)."""
-    levels = [prob]
-    current = prob
-    for h in range(1, depth):
-        shift = 1 << (h - 1)
-        for axis in range(3):
-            pad = [(0, 0)] * 3
-            pad[axis] = (0, shift)
-            idx = [slice(None)] * 3
-            idx[axis] = slice(shift, None)
-            shifted = jnp.pad(current[tuple(idx)], pad,
-                              constant_values=UNKNOWN_PROBABILITY)
-            current = jnp.maximum(current, shifted)
-        levels.append(current)
-    return jnp.stack(levels)
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PrecomputationStack3D:
+    """Mixed-resolution max-pool pyramid, uint8 (PrecomputationGridStack3D).
+
+    full[h] (h < full_resolution_depth): full-res max over windows of
+    2^h cells per axis. coarse[j] (global level h = full_resolution_depth+j):
+    max over windows of 2^h full-res cells, stored every 2^(j+1) cells and
+    padded to a common (S/2)^3 shape so a single lax.scan can iterate all
+    coarse levels. One extra stored-cell max absorbs the >>re rounding so
+    the parent-bound property (level h >= any descendant leaf) holds.
+    """
+
+    full: jnp.ndarray  # (frd, S, S, S) uint8
+    coarse: jnp.ndarray  # (depth - frd, S//2, S//2, S//2) uint8
+    depth: int = dataclasses.field(metadata=dict(static=True))
+    full_resolution_depth: int = dataclasses.field(metadata=dict(static=True))
 
 
-def _score_3d(level: jnp.ndarray, base_cells: jnp.ndarray,
-              a_idx: jnp.ndarray, ox, oy, oz, mask: jnp.ndarray,
-              size: int) -> jnp.ndarray:
+def _quantize(prob: jnp.ndarray) -> jnp.ndarray:
+    v = jnp.round((prob - MIN_PROBABILITY) / _Q_SCALE)
+    return jnp.clip(v, 0, 255).astype(jnp.uint8)
+
+
+def _shift_max(arr: jnp.ndarray, shift: int) -> jnp.ndarray:
+    """max(arr, arr shifted down by `shift` along each axis), zero-padded."""
+    for axis in range(3):
+        pad = [(0, 0)] * 3
+        pad[axis] = (0, shift)
+        idx = [slice(None)] * 3
+        idx[axis] = slice(shift, None)
+        arr = jnp.maximum(arr, jnp.pad(arr[tuple(idx)], pad))
+    return arr
+
+
+def _halve(arr: jnp.ndarray) -> jnp.ndarray:
+    """2x downsample by max over 2^3 blocks (CellIndexAtHalfResolution)."""
+    s = arr.shape[0] // 2
+    return (arr.reshape(s, 2, s, 2, s, 2)
+            .max(axis=5).max(axis=3).max(axis=1))
+
+
+def build_precomputation_stack_3d(
+    prob: jnp.ndarray, depth: int, full_resolution_depth: int = 3,
+) -> PrecomputationStack3D:
+    """Build the mixed-resolution pyramid from a (S, S, S) probability grid."""
+    frd = max(1, min(full_resolution_depth, depth))
+    q = _quantize(prob)
+    s = q.shape[0]
+    full_levels = [q]
+    current = q
+    for h in range(1, frd):
+        current = _shift_max(current, 1 << (h - 1))
+        full_levels.append(current)
+    full = jnp.stack(full_levels)
+
+    coarse_levels = []
+    for h in range(frd, depth):
+        # Double the window: previous stride is 2^(h-frd), so the shift of
+        # 2^(h-1) full-res cells is always 2^(frd-1) stored cells.
+        current = _shift_max(current, 1 << (frd - 1))
+        current = _halve(current)
+        # One stored-cell slack so (cell + offset) >> re stays a valid bound.
+        current = _shift_max(current, 1)
+        pad = s // 2 - current.shape[0]
+        coarse_levels.append(jnp.pad(current, [(0, pad)] * 3))
+    if coarse_levels:
+        coarse = jnp.stack(coarse_levels)
+    else:
+        coarse = jnp.zeros((0, s // 2, s // 2, s // 2), jnp.uint8)
+    return PrecomputationStack3D(full=full, coarse=coarse, depth=depth,
+                                 full_resolution_depth=frd)
+
+
+# Backwards-compatible alias (round-1 name).
+def build_precomputation_pyramid_3d(prob: jnp.ndarray, depth: int,
+                                    full_resolution_depth: int = 3
+                                    ) -> PrecomputationStack3D:
+    return build_precomputation_stack_3d(prob, depth, full_resolution_depth)
+
+
+def _score_level(level: jnp.ndarray, re, base_cells: jnp.ndarray,
+                 a_idx: jnp.ndarray, ox, oy, oz, mask: jnp.ndarray,
+                 size: int, window) -> jnp.ndarray:
+    """Mean probability of the cloud at candidate offsets on one level.
+
+    `re` is the reduction exponent (0 for full-res levels): full-res cell
+    coordinates are arithmetic-right-shifted into the level's coarse index
+    space (ScoreCandidates, fast_correlative_scan_matcher_3d.cc:332-356).
+
+    `window` = 2^h, the level's max-pool extent: a candidate anchored at a
+    negative cell still bounds descendants in [cell, cell+window) ∩ [0, S),
+    and the stored value at cell 0 covers [0, window) ⊇ that set, so the
+    anchor clips to 0 instead of reading as unknown (the reference's
+    DynamicGrid simply grows to hold negative anchor indices). At the leaf
+    level window == 1 and this reduces to the exact in-bounds test.
+    """
     cx = base_cells[a_idx, :, 0] + ox[:, None]
     cy = base_cells[a_idx, :, 1] + oy[:, None]
     cz = base_cells[a_idx, :, 2] + oz[:, None]
-    inb = ((cx >= 0) & (cx < size) & (cy >= 0) & (cy < size)
-           & (cz >= 0) & (cz < size))
-    p = jnp.where(inb, level[jnp.clip(cx, 0, size - 1),
-                             jnp.clip(cy, 0, size - 1),
-                             jnp.clip(cz, 0, size - 1)], UNKNOWN_PROBABILITY)
+    inb = ((cx > -window) & (cx < size) & (cy > -window) & (cy < size)
+           & (cz > -window) & (cz < size))
+    gx = jnp.clip(cx, 0, size - 1) >> re
+    gy = jnp.clip(cy, 0, size - 1) >> re
+    gz = jnp.clip(cz, 0, size - 1) >> re
+    v = level[gx, gy, gz].astype(jnp.float32) * _Q_SCALE + MIN_PROBABILITY
+    p = jnp.where(inb, v, UNKNOWN_PROBABILITY)
     num = jnp.maximum(jnp.sum(mask), 1)
     return jnp.sum(jnp.where(mask[None, :], p, 0.0), axis=-1) / num
 
 
 def fast_correlative_match_3d(
-    pyramid: jnp.ndarray,  # (depth, S, S, S) over the high-res grid
+    stack: PrecomputationStack3D,  # over the high-res grid
     grid: Grid3D,  # high-res grid (metadata)
     low_grid: Grid3D,  # low-resolution grid for the leaf gate
     points: jnp.ndarray,  # (N, 3) node cloud (high-res filtered)
@@ -97,7 +193,8 @@ def fast_correlative_match_3d(
     min_score: float,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Rigid3, jnp.ndarray, jnp.ndarray]:
     """Returns (found, score, pose, rotational_score, low_resolution_score)."""
-    depth = pyramid.shape[0]
+    depth = stack.depth
+    frd = stack.full_resolution_depth
     res = grid.resolution
     size = grid.size
     num_angles = params.static_num_angles(res)
@@ -147,25 +244,67 @@ def fast_correlative_match_3d(
     ox = offs_xy[x_g.reshape(-1)]
     oy = offs_xy[y_g.reshape(-1)]
     oz = offs_z[z_g.reshape(-1)]
-    scores = _score_3d(pyramid[depth - 1], base_cells, a_idx, ox, oy, oz, mask, size)
+
+    def level_of(h):
+        if h >= frd:
+            return stack.coarse[h - frd], h - frd + 1
+        return stack.full[h], 0
+
+    top_level, top_re = level_of(depth - 1)
+    scores = _score_level(top_level, top_re, base_cells, a_idx, ox, oy, oz,
+                          mask, size, top_stride)
     scores = jnp.where(yaw_alive[a_idx], scores, -jnp.inf)
 
-    beam = params.beam_width
-    for h in range(depth - 2, -1, -1):
-        k = min(beam, scores.shape[0])
-        top_scores, top_idx = jax.lax.top_k(scores, k)
-        a_idx = a_idx[top_idx]
-        ox = ox[top_idx]
-        oy = oy[top_idx]
-        oz = oz[top_idx]
-        child = 1 << h
-        a_idx = jnp.tile(a_idx, 8)
-        ox = jnp.concatenate([ox + dx * child for dx in (0, 1, 0, 1, 0, 1, 0, 1)])
-        oy = jnp.concatenate([oy + dy * child for dy in (0, 0, 1, 1, 0, 0, 1, 1)])
-        oz = jnp.concatenate([oz + dz * child for dz in (0, 0, 0, 0, 1, 1, 1, 1)])
-        parent_alive = jnp.tile(top_scores > min_score, 8)
-        scores = _score_3d(pyramid[h], base_cells, a_idx, ox, oy, oz, mask, size)
-        scores = jnp.where(parent_alive, scores, -jnp.inf)
+    # Fixed-width beam carry: 8 children per surviving parent.
+    beam = min(params.beam_width, scores.shape[0])
+    width = 8 * beam
+    pad = max(0, width - scores.shape[0])
+    a_idx = jnp.pad(a_idx, (0, pad))
+    ox = jnp.pad(ox, (0, pad))
+    oy = jnp.pad(oy, (0, pad))
+    oz = jnp.pad(oz, (0, pad))
+    scores = jnp.pad(scores, (0, pad), constant_values=-jnp.inf)
+    if scores.shape[0] > width:
+        scores, keep = jax.lax.top_k(scores, width)
+        a_idx, ox, oy, oz = a_idx[keep], ox[keep], oy[keep], oz[keep]
+
+    dx = jnp.array([0, 1, 0, 1, 0, 1, 0, 1])
+    dy = jnp.array([0, 0, 1, 1, 0, 0, 1, 1])
+    dz = jnp.array([0, 0, 0, 0, 1, 1, 1, 1])
+
+    def make_step(levels):
+        def step(carry, xs):
+            a_idx, ox, oy, oz, scores = carry
+            level_idx, re, child = xs
+            top_scores, top_idx = jax.lax.top_k(scores, beam)
+            pa = a_idx[top_idx]
+            px, py, pz = ox[top_idx], oy[top_idx], oz[top_idx]
+            ca = jnp.tile(pa, 8)
+            cx = (px[None, :] + dx[:, None] * child).reshape(-1)
+            cy = (py[None, :] + dy[:, None] * child).reshape(-1)
+            cz = (pz[None, :] + dz[:, None] * child).reshape(-1)
+            alive = jnp.tile(top_scores > min_score, 8)
+            s = _score_level(levels[level_idx], re, base_cells, ca,
+                             cx, cy, cz, mask, size, child)
+            s = jnp.where(alive, s, -jnp.inf)
+            return (ca, cx, cy, cz, s), None
+
+        return step
+
+    carry = (a_idx, ox, oy, oz, scores)
+    # Coarse levels h = depth-2 .. frd (equal shapes -> one scan).
+    n_coarse_steps = max(0, depth - 1 - frd)
+    if n_coarse_steps > 0:
+        hs = jnp.arange(depth - 2, frd - 1, -1)
+        xs = (hs - frd, hs - frd + 1, jnp.left_shift(1, hs))
+        carry, _ = jax.lax.scan(make_step(stack.coarse), carry, xs)
+    # Full-resolution levels h = min(depth-2, frd-1) .. 0.
+    top_full = min(depth - 2, frd - 1)
+    if top_full >= 0:
+        hs = jnp.arange(top_full, -1, -1)
+        xs = (hs, jnp.zeros_like(hs), jnp.left_shift(1, hs))
+        carry, _ = jax.lax.scan(make_step(stack.full), carry, xs)
+    a_idx, ox, oy, oz, scores = carry
 
     # Leaf low-resolution gate: score the best candidates on the low grid
     # (low_resolution_matcher.cc) and kill those below threshold.
@@ -192,3 +331,19 @@ def fast_correlative_match_3d(
         quat.normalize(quat.multiply(yaw_qs[la[best]], initial_pose.rotation)),
     )
     return found, best_score, pose, rot_scores[la[best]], low_scores[best]
+
+
+def _score_3d(level: jnp.ndarray, base_cells: jnp.ndarray,
+              a_idx: jnp.ndarray, ox, oy, oz, mask: jnp.ndarray,
+              size: int) -> jnp.ndarray:
+    """Mean probability on a float probability grid (low-resolution gate)."""
+    cx = base_cells[a_idx, :, 0] + ox[:, None]
+    cy = base_cells[a_idx, :, 1] + oy[:, None]
+    cz = base_cells[a_idx, :, 2] + oz[:, None]
+    inb = ((cx >= 0) & (cx < size) & (cy >= 0) & (cy < size)
+           & (cz >= 0) & (cz < size))
+    p = jnp.where(inb, level[jnp.clip(cx, 0, size - 1),
+                             jnp.clip(cy, 0, size - 1),
+                             jnp.clip(cz, 0, size - 1)], UNKNOWN_PROBABILITY)
+    num = jnp.maximum(jnp.sum(mask), 1)
+    return jnp.sum(jnp.where(mask[None, :], p, 0.0), axis=-1) / num

@@ -268,3 +268,81 @@ class TestSpa3D:
         rel_q = quat.multiply(quat.conjugate(qa), qb)
         r = constraint_residual_3d(ta, qa, tb, qb, rel_t, rel_q, 1.0, 1.0)
         np.testing.assert_allclose(np.asarray(r), 0, atol=1e-6)
+
+
+class TestPrecomputationStack3D:
+    """Mixed-resolution uint8 pyramid (precomputation_grid_3d.cc analog)."""
+
+    def test_memory_within_2x_grid(self):
+        from cartographer_tpu.ops.bnb_3d import build_precomputation_stack_3d
+
+        s = 64
+        prob = jnp.full((s, s, s), 0.5, jnp.float32)
+        stack = build_precomputation_stack_3d(prob, depth=8,
+                                              full_resolution_depth=3)
+        grid_bytes = s ** 3 * 4  # f32 grid
+        stack_bytes = stack.full.size + stack.coarse.size  # uint8
+        assert stack_bytes <= 2 * grid_bytes, (stack_bytes, grid_bytes)
+        assert stack.full.shape == (3, s, s, s)
+        assert stack.coarse.shape == (5, s // 2, s // 2, s // 2)
+        assert stack.full.dtype == jnp.uint8
+        assert stack.coarse.dtype == jnp.uint8
+
+    def test_upper_bound_property(self):
+        # Every level value at (cell+offset)>>re must be >= the level-0 value
+        # at any descendant (cell+offset+d), d in [0, 2^h)^3 — BnB bound
+        # admissibility across the full/coarse transition.
+        from cartographer_tpu.ops.bnb_3d import build_precomputation_stack_3d
+
+        rng = np.random.default_rng(7)
+        s = 32
+        prob = jnp.asarray(
+            0.1 + 0.8 * rng.random((s, s, s)).astype(np.float32))
+        depth, frd = 5, 2
+        stack = build_precomputation_stack_3d(prob, depth, frd)
+        lvl0 = np.asarray(stack.full[0])
+        cells = rng.integers(0, s, size=(64, 3))
+        for h in range(1, depth):
+            if h < frd:
+                level = np.asarray(stack.full[h])
+                re = 0
+            else:
+                level = np.asarray(stack.coarse[h - frd])
+                re = h - frd + 1
+            w = 1 << h
+            for c in cells:
+                descendants = lvl0[
+                    c[0]:min(c[0] + w, s),
+                    c[1]:min(c[1] + w, s),
+                    c[2]:min(c[2] + w, s)]
+                bound = level[c[0] >> re, c[1] >> re, c[2] >> re]
+                assert bound >= descendants.max(), (h, c)
+
+    def test_recovers_pose_deep_pyramid(self):
+        # Default-config depth 8 / frd 3: coarse levels active, pose recovery
+        # must still work (fast_correlative_scan_matcher_3d_test.cc analog).
+        from cartographer_tpu.ops.bnb_3d import build_precomputation_stack_3d
+
+        world = make_environment_3d(num=300, seed=3)
+        grid = build_grid_3d(world, resolution=0.15, size=64)
+        low = build_grid_3d(world, resolution=0.45, size=32)
+        stack = build_precomputation_stack_3d(grid.probability(), 8, 3)
+        mask = jnp.ones(len(world), bool)
+        hist = compute_rotational_histogram(jnp.asarray(world), mask, 60)
+        true_pose = Rigid3(jnp.array([0.8, -0.5, 0.15]),
+                           quat.from_yaw(jnp.array(-0.08)))
+        scan = true_pose.inverse().apply(jnp.asarray(world))
+        scan_hist = compute_rotational_histogram(scan, mask, 60)
+        params = FastCorrelativeMatcherParams3D(
+            branch_and_bound_depth=8, full_resolution_depth=3,
+            min_rotational_score=0.5, min_low_resolution_score=0.3,
+            linear_xy_search_window=2.0, linear_z_search_window=0.5,
+            angular_search_window=math.radians(15.0),
+            beam_width=1024, max_scan_range=6.0)
+        found, score, pose, rot_score, low_score = fast_correlative_match_3d(
+            stack, grid, low, scan, mask, scan, mask,
+            scan_hist, hist, Rigid3.identity(), params, min_score=0.25)
+        assert bool(found)
+        np.testing.assert_allclose(
+            np.asarray(pose.translation), [0.8, -0.5, 0.15], atol=0.3)
+        assert abs(float(quat.get_yaw(pose.rotation)) + 0.08) < 0.05
