@@ -62,7 +62,61 @@ def encode_sensor_data(sensor_id: str, data) -> dict:
                      "translation_weight": o.translation_weight,
                      "rotation_weight": o.rotation_weight}
                     for o in data.landmark_observations]}
+    from cartographer_tpu.mapping.local_slam_result_data import LocalSlamResultData
+
+    if isinstance(data, LocalSlamResultData):
+        return encode_local_slam_result(sensor_id, data)
     raise TypeError(f"cannot encode sensor data {type(data)}")
+
+
+def encode_local_slam_result(sensor_id: str, data) -> dict:
+    """Wire form of LocalSlamResultData (proto::LocalSlamResultData analog:
+    cloud/proto/map_builder_service.proto SensorData.local_slam_result_data)."""
+    node = {k: (_nd(v) if isinstance(v, np.ndarray) else v)
+            for k, v in data.node.items()}
+    submaps = []
+    for rec in data.submaps:
+        d = {"trajectory_id": rec.trajectory_id,
+             "submap_index": rec.submap_index,
+             "local_pose_translation": _nd(rec.local_pose_translation),
+             "local_pose_rotation": _nd(rec.local_pose_rotation),
+             "num_range_data": rec.num_range_data,
+             "insertion_finished": rec.insertion_finished}
+        if rec.grid is not None:
+            d["grid"] = rec.grid
+        if rec.high_grid is not None:
+            d["high_grid"] = rec.high_grid
+            d["low_grid"] = rec.low_grid
+        if rec.histogram is not None:
+            d["histogram"] = _nd(rec.histogram)
+        submaps.append(d)
+    return {"kind": "local_slam_result", "sensor_id": sensor_id,
+            "time": data.time, "node": node, "submaps": submaps,
+            "is_3d": data.is_3d}
+
+
+def _decode_local_slam_result(msg: dict):
+    from cartographer_tpu.mapping.local_slam_result_data import (
+        LocalSlamResultData,
+        SubmapRecord,
+    )
+
+    node = {k: (_un_nd(v) if isinstance(v, dict) and v.get("__nd__") else v)
+            for k, v in msg["node"].items()}
+    submaps = [SubmapRecord(
+        trajectory_id=d["trajectory_id"],
+        submap_index=d["submap_index"],
+        local_pose_translation=_un_nd(d["local_pose_translation"]),
+        local_pose_rotation=_un_nd(d["local_pose_rotation"]),
+        num_range_data=d["num_range_data"],
+        insertion_finished=d["insertion_finished"],
+        grid=d.get("grid"),
+        high_grid=d.get("high_grid"),
+        low_grid=d.get("low_grid"),
+        histogram=_un_nd(d["histogram"]) if "histogram" in d else None,
+    ) for d in msg["submaps"]]
+    return msg["sensor_id"], LocalSlamResultData(
+        time=msg["time"], node=node, submaps=submaps, is_3d=msg["is_3d"])
 
 
 def decode_sensor_data(msg: dict):
@@ -97,4 +151,6 @@ def decode_sensor_data(msg: dict):
                     translation_weight=o["translation_weight"],
                     rotation_weight=o["rotation_weight"])
                 for o in msg["observations"]])
+    if kind == "local_slam_result":
+        return _decode_local_slam_result(msg)
     raise TypeError(f"cannot decode sensor data kind {kind}")

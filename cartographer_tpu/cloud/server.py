@@ -46,6 +46,11 @@ class MapBuilderServer:
         self._global_slam_subscriptions: List[queue.Queue] = []
         self._client_ids: Dict[int, str] = {}
         self._finished: Dict[int, bool] = {}
+        # Per-trajectory uplink submap index counter (the reference keeps a
+        # single starting_submap_index_ per server, map_builder_server.h —
+        # per-trajectory is required for multi-trajectory correctness).
+        self._starting_submap_index: Dict[int, int] = {}
+        self.num_uploaded_results = 0
         self._lock = threading.Lock()
         self._uploader = None
         if options.uplink_server_address:
@@ -119,8 +124,22 @@ class MapBuilderServer:
                 q.put_nowait(msg)
             except queue.Full:
                 pass
-        if self._uploader is not None:
-            self._uploader.enqueue_local_slam_result(trajectory_id, msg)
+        # Multi-tier uplink: package the full insertion result (node data +
+        # incremental submap state) exactly as the reference does on each
+        # submap insertion (map_builder_server.cc:178-206,
+        # CreateSensorDataForLocalSlamResult).
+        if (self._uploader is not None
+                and getattr(matching_result, "insertion_result", None) is not None):
+            from cartographer_tpu.mapping.local_slam_result_data import (
+                build_local_slam_result,
+            )
+
+            start = self._starting_submap_index.get(trajectory_id, 0)
+            data, new_start = build_local_slam_result(
+                trajectory_id, matching_result.insertion_result, start,
+                is_3d=self._options.map_builder.use_trajectory_builder_3d)
+            self._starting_submap_index[trajectory_id] = new_start
+            self._uploader.enqueue_local_slam_result(trajectory_id, data)
 
     # ------------------------------------------------------------ handlers
 
@@ -179,7 +198,8 @@ class MapBuilderServer:
         client_id = request.get("client_id", "")
         trajectory_id = self.map_builder.add_trajectory_builder(
             expected_sensor_ids, self._default_trajectory_options,
-            local_slam_result_callback=self._on_local_slam_result)
+            local_slam_result_callback=self._on_local_slam_result,
+            local_slam_results=request.get("local_slam_results", False))
         with self._lock:
             self._client_ids[trajectory_id] = client_id
             self._finished[trajectory_id] = False
@@ -211,13 +231,17 @@ class MapBuilderServer:
         return {"received": len(request["sensor_data"])}
 
     def _add_local_slam_result_batch(self, request, context):
-        """Tier-2 ingestion of uplinked local-SLAM results (the reference's
-        AddLocalSlamResultData path: an uplink server runs only the pose
-        graph over pre-matched local results)."""
+        """Tier-2 ingestion of uplinked local-SLAM results: each result goes
+        through the SLAM queue into a pose-graph-only trajectory, exactly the
+        reference's AddSensorDataBatch -> EnqueueLocalSlamResultData ->
+        LocalSlamResult2D::AddToPoseGraph path
+        (cloud/internal/handlers/add_sensor_data_batch_handler.cc:102,
+        map_builder_context_impl.cc:27-41)."""
+        for item in request["results"]:
+            sensor_id, data = codec.decode_sensor_data(item["payload"])
+            self._incoming.put((item["trajectory_id"], sensor_id, data))
         with self._lock:
-            if not hasattr(self, "uploaded_local_slam_results"):
-                self.uploaded_local_slam_results = []
-            self.uploaded_local_slam_results.extend(request["results"])
+            self.num_uploaded_results += len(request["results"])
         return {"received": len(request["results"])}
 
     def _finish_trajectory(self, request, context):
@@ -226,6 +250,8 @@ class MapBuilderServer:
         self.map_builder.finish_trajectory(tid)
         with self._lock:
             self._finished[tid] = True
+        if self._uploader is not None:
+            self._uploader.finish_trajectory(tid)
         return {}
 
     def _drain(self) -> None:

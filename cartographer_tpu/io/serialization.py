@@ -114,14 +114,7 @@ def serialize_state(pose_graph, writer: ProtoStreamWriter,
             "local_pose_rotation": list(map(float, submap.local_pose_rotation)),
         }
         if submap.grid is not None:
-            grid = submap.grid
-            record["grid"] = {
-                "log_odds": _nd(np.asarray(grid.log_odds, np.float16)),
-                "known": _nd(np.packbits(np.asarray(grid.known))),
-                "known_shape": list(np.asarray(grid.known).shape),
-                "origin": list(map(float, np.asarray(grid.origin))),
-                "resolution": grid.resolution,
-            }
+            record["grid"] = grid2d_record(submap.grid)
         writer.write(_pack(record))
 
     for (t, i), node in pose_graph.nodes.items():
@@ -136,6 +129,29 @@ def serialize_state(pose_graph, writer: ProtoStreamWriter,
         }))
 
     writer.write(_pack({"type": "trajectory_data"}))
+
+
+def grid2d_record(grid) -> Dict[str, Any]:
+    """Serialization-format dict for a 2D grid (f16 log-odds + packed known)."""
+    return {
+        "log_odds": _nd(np.asarray(grid.log_odds, np.float16)),
+        "known": _nd(np.packbits(np.asarray(grid.known))),
+        "known_shape": list(np.asarray(grid.known).shape),
+        "origin": list(map(float, np.asarray(grid.origin))),
+        "resolution": grid.resolution,
+    }
+
+
+def un_grid2d(g) -> Grid2D:
+    import jax.numpy as jnp
+
+    known = np.unpackbits(_un_nd(g["known"]))[
+        : int(np.prod(g["known_shape"]))].reshape(g["known_shape"]).astype(bool)
+    return Grid2D(
+        log_odds=jnp.asarray(_un_nd(g["log_odds"]).astype(np.float32)),
+        known=jnp.asarray(known),
+        origin=jnp.asarray(g["origin"], jnp.float32),
+        resolution=g["resolution"])
 
 
 def _grid3d_record(grid) -> Dict[str, Any]:
@@ -335,17 +351,7 @@ def load_state(reader: ProtoStreamReader, pose_graph,
         if r["type"] == "submap":
             t, i = r["id"]
             nt = map_traj(t)
-            grid = None
-            if "grid" in r:
-                g = r["grid"]
-                import jax.numpy as jnp
-                known = np.unpackbits(_un_nd(g["known"]))[
-                    : int(np.prod(g["known_shape"]))].reshape(g["known_shape"]).astype(bool)
-                grid = Grid2D(
-                    log_odds=jnp.asarray(_un_nd(g["log_odds"]).astype(np.float32)),
-                    known=jnp.asarray(known),
-                    origin=jnp.asarray(g["origin"], jnp.float32),
-                    resolution=g["resolution"])
+            grid = un_grid2d(r["grid"]) if "grid" in r else None
             submap = Submap2D(
                 local_pose_translation=np.asarray(r["local_pose_translation"]),
                 local_pose_rotation=np.asarray(r["local_pose_rotation"]),

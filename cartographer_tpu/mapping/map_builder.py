@@ -38,13 +38,42 @@ class GlobalTrajectoryBuilder:
     """Glue: forwards sensor data to local SLAM, feeds results into the pose
     graph (mapping/internal/global_trajectory_builder.cc:36-145)."""
 
-    def __init__(self, trajectory_id: int, local_builder: LocalTrajectoryBuilder2D,
+    def __init__(self, trajectory_id: int,
+                 local_builder: Optional[LocalTrajectoryBuilder2D],
                  pose_graph: PoseGraph2D,
-                 local_slam_result_callback: Optional[LocalSlamResultCallback] = None):
+                 local_slam_result_callback: Optional[LocalSlamResultCallback] = None,
+                 submap_controller=None):
         self.trajectory_id = trajectory_id
         self._local = local_builder
         self._pose_graph = pose_graph
         self._callback = local_slam_result_callback
+        self._submap_controller = submap_controller
+
+    def add_local_slam_result(self, data) -> None:
+        """Tier-2 path: feed a pre-matched local-SLAM result into the pose
+        graph only (global_trajectory_builder.cc AddLocalSlamResultData +
+        local_slam_result_2d.cc AddToPoseGraph)."""
+        assert self._local is None, (
+            "can't add LocalSlamResultData with a local trajectory builder present")
+        submaps, finished = [], []
+        for rec in data.submaps:
+            submap, newly_finished = self._submap_controller.update_submap(rec)
+            if submap is None:
+                continue  # partially-filled submap we never saw the start of
+            submaps.append(submap)
+            if newly_finished:
+                finished.append(submap)
+        if not submaps:
+            return  # reference: "Ignoring node"
+        n = data.node
+        node = TrajectoryNode(
+            time=n["time"],
+            gravity_alignment=np.asarray(n["gravity_alignment"], np.float64),
+            filtered_points=np.asarray(n["filtered_points"], np.float64),
+            local_pose_translation=np.asarray(n["local_pose_translation"], np.float64),
+            local_pose_rotation=np.asarray(n["local_pose_rotation"], np.float64),
+        )
+        self._pose_graph.add_node(self.trajectory_id, node, submaps, finished)
 
     def add_range_data(self, sensor_id: str, data: TimedPointCloudData) -> None:
         result = self._local.add_range_data(sensor_id, data)
@@ -84,7 +113,7 @@ class GlobalTrajectoryBuilder:
         self._pose_graph.add_landmark_data(self.trajectory_id, data)
 
     def finish(self):
-        return self._local.finish()
+        return self._local.finish() if self._local is not None else []
 
 
 class GlobalTrajectoryBuilder3D:
@@ -92,11 +121,40 @@ class GlobalTrajectoryBuilder3D:
     (global_trajectory_builder.cc templated over 2D/3D in the reference)."""
 
     def __init__(self, trajectory_id: int, local_builder, pose_graph,
-                 local_slam_result_callback=None):
+                 local_slam_result_callback=None, submap_controller=None):
         self.trajectory_id = trajectory_id
         self._local = local_builder
         self._pose_graph = pose_graph
         self._callback = local_slam_result_callback
+        self._submap_controller = submap_controller
+
+    def add_local_slam_result(self, data) -> None:
+        """Tier-2 path (local_slam_result_3d.cc AddToPoseGraph)."""
+        from cartographer_tpu.mapping.pose_graph_3d import TrajectoryNode3D
+
+        assert self._local is None, (
+            "can't add LocalSlamResultData with a local trajectory builder present")
+        submaps, finished = [], []
+        for rec in data.submaps:
+            submap, newly_finished = self._submap_controller.update_submap(rec)
+            if submap is None:
+                continue
+            submaps.append(submap)
+            if newly_finished:
+                finished.append(submap)
+        if not submaps:
+            return
+        n = data.node
+        node = TrajectoryNode3D(
+            time=n["time"],
+            gravity_alignment=np.asarray(n["gravity_alignment"], np.float64),
+            high_res_cloud=np.asarray(n["high_res_cloud"], np.float32),
+            low_res_cloud=np.asarray(n["low_res_cloud"], np.float32),
+            scan_histogram=np.asarray(n["scan_histogram"], np.float32),
+            local_pose_translation=np.asarray(n["local_pose_translation"], np.float64),
+            local_pose_rotation=np.asarray(n["local_pose_rotation"], np.float64),
+        )
+        self._pose_graph.add_node(self.trajectory_id, node, submaps, finished)
 
     def add_range_data(self, sensor_id: str, data: TimedPointCloudData) -> None:
         from cartographer_tpu.mapping.pose_graph_3d import TrajectoryNode3D
@@ -137,7 +195,7 @@ class GlobalTrajectoryBuilder3D:
         pass
 
     def finish(self):
-        return self._local.finish()
+        return self._local.finish() if self._local is not None else []
 
 
 class MapBuilder:
@@ -171,24 +229,36 @@ class MapBuilder:
         expected_sensor_ids: List[str],
         trajectory_options: TrajectoryBuilderOptions,
         local_slam_result_callback: Optional[LocalSlamResultCallback] = None,
+        local_slam_results: bool = False,
     ) -> int:
+        """`local_slam_results=True` creates a pose-graph-only trajectory for
+        pre-matched uplinked results — the reference signals this by clearing
+        the local-builder options in the uplink AddTrajectory request
+        (cloud/internal/handlers/add_trajectory_handler.cc:49-56)."""
         trajectory_id = len(self._builders) + len(self._frozen)
         range_ids = [s for s in expected_sensor_ids
                      if s.startswith("range") or "laser" in s or "points" in s]
         if self._options.use_trajectory_builder_3d:
-            from cartographer_tpu.mapping.local_trajectory_builder_3d import (
-                LocalTrajectoryBuilder3D,
-            )
-            local = LocalTrajectoryBuilder3D(
-                trajectory_options.trajectory_builder_3d, range_ids or expected_sensor_ids)
+            local = None
+            if not local_slam_results:
+                from cartographer_tpu.mapping.local_trajectory_builder_3d import (
+                    LocalTrajectoryBuilder3D,
+                )
+                local = LocalTrajectoryBuilder3D(
+                    trajectory_options.trajectory_builder_3d,
+                    range_ids or expected_sensor_ids)
             builder = GlobalTrajectoryBuilder3D(
-                trajectory_id, local, self.pose_graph, local_slam_result_callback)
+                trajectory_id, local, self.pose_graph, local_slam_result_callback,
+                submap_controller=self._submap_controller())
         else:
-            local = LocalTrajectoryBuilder2D(
-                trajectory_options.trajectory_builder_2d,
-                range_ids or expected_sensor_ids)
+            local = None
+            if not local_slam_results:
+                local = LocalTrajectoryBuilder2D(
+                    trajectory_options.trajectory_builder_2d,
+                    range_ids or expected_sensor_ids)
             builder = GlobalTrajectoryBuilder(
-                trajectory_id, local, self.pose_graph, local_slam_result_callback)
+                trajectory_id, local, self.pose_graph, local_slam_result_callback,
+                submap_controller=self._submap_controller())
         self._builders[trajectory_id] = builder
         self._sensor_ids[trajectory_id] = list(expected_sensor_ids)
 
@@ -205,9 +275,29 @@ class MapBuilder:
             trajectory_id, expected_sensor_ids, self._dispatch)
         return trajectory_id
 
+    def _submap_controller(self):
+        """Shared per-MapBuilder submap replica store for uplinked results
+        (reference: one SubmapController per MapBuilderContext)."""
+        if not hasattr(self, "_controller"):
+            if self._options.use_trajectory_builder_3d:
+                from cartographer_tpu.mapping.local_slam_result_data import (
+                    SubmapController3D,
+                )
+                self._controller = SubmapController3D()
+            else:
+                from cartographer_tpu.mapping.local_slam_result_data import (
+                    SubmapController2D,
+                )
+                self._controller = SubmapController2D()
+        return self._controller
+
     def _dispatch(self, trajectory_id: int, sensor_id: str, time: Time, data) -> None:
+        from cartographer_tpu.mapping.local_slam_result_data import LocalSlamResultData
+
         builder = self._builders[trajectory_id]
-        if isinstance(data, TimedPointCloudData):
+        if isinstance(data, LocalSlamResultData):
+            builder.add_local_slam_result(data)
+        elif isinstance(data, TimedPointCloudData):
             builder.add_range_data(sensor_id, data)
         elif isinstance(data, ImuData):
             builder.add_imu_data(data)

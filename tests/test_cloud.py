@@ -23,13 +23,16 @@ from cartographer_tpu.sensor.data import TimedPointCloudData
 from test_local_slam_2d import make_wall_points, scan_at, small_options
 
 
-def make_server(port=0, uplink="", upload_batch_size=4):
-    tb2 = small_options(**{"submaps.num_range_data": 8,
+def make_server(port=0, uplink="", upload_batch_size=4, num_range_data=8,
+                pg_overrides=None):
+    tb2 = small_options(**{"submaps.num_range_data": num_range_data,
                            "motion_filter.max_distance_meters": 0.01})
     traj = TrajectoryBuilderOptions(trajectory_builder_2d=tb2)
+    overrides = {"pose_graph.optimize_every_n_nodes": 0}
+    overrides.update(pg_overrides or {})
     mb = apply_overrides(
         MapBuilderOptions(use_trajectory_builder_2d=True, collate_by_trajectory=True),
-        {"pose_graph.optimize_every_n_nodes": 0})
+        overrides)
     opts = MapBuilderServerOptions(
         map_builder=mb, server_address=f"localhost:{port}",
         uplink_server_address=uplink, upload_batch_size=upload_batch_size)
@@ -113,7 +116,9 @@ class TestClientServer:
 class TestTwoTier:
     def test_uplink_receives_batches(self):
         # Tier-2 (uplink) server, then tier-1 chained into it
-        # (client_server_test.cc:99-113 chained topology).
+        # (client_server_test.cc:99-113 chained topology). Tier-2 must run
+        # the pose graph over the uploaded LocalSlamResultData: its node
+        # count tracks tier-1's (WaitForLocalSlamResultUploads, :214-218).
         tier2 = make_server()
         tier2.start()
         tier1 = make_server(uplink=f"localhost:{tier2.port}", upload_batch_size=2)
@@ -123,17 +128,108 @@ class TestTwoTier:
             tid = stub.add_trajectory_builder(["laser"])
             drive_scans(stub, tid, num=6)
             stub.finish_trajectory(tid)
-            deadline = time.time() + 20
+            deadline = time.time() + 30
             while time.time() < deadline:
-                uploaded = getattr(tier2, "uploaded_local_slam_results", [])
-                if len(uploaded) >= 6:
+                if tier2.num_uploaded_results >= 6:
                     break
                 time.sleep(0.2)
-            uploaded = getattr(tier2, "uploaded_local_slam_results", [])
-            assert len(uploaded) >= 6, len(uploaded)
+            assert tier2.num_uploaded_results >= 6, tier2.num_uploaded_results
+            tier2._drain()
+            pg2 = tier2.map_builder.pose_graph
+            assert len(pg2.nodes) >= 6
+            # INTRA constraints were rebuilt from the node/submap records.
+            assert any(c.tag == "INTRA_SUBMAP" for c in pg2.constraints)
+            # Tier-2 node poses track tier-1's local poses.
+            (_, _), last = max(pg2.nodes.items(), key=lambda kv: kv[0][1])
+            assert abs(last.local_pose_translation[0] - 0.25) < 0.15
             stub.close()
         finally:
             tier1.shutdown()
+            tier2.shutdown()
+
+    def test_two_tier_cross_robot_slam(self):
+        # Two tier-1 robots upload into one tier-2 server; tier-2's pose
+        # graph accumulates nodes from both, finds an inter-trajectory
+        # constraint, and optimization corrects robot B's frame offset
+        # (client_server_test.cc:598 chained topology + multi-trajectory
+        # global localization).
+        import math
+
+        from test_local_slam_2d import make_wall_points, scan_at
+
+        pg_overrides = {
+            "pose_graph.constraint_builder.sampling_ratio": 1.0,
+            "pose_graph.global_sampling_ratio": 1.0,
+            "pose_graph.constraint_builder.min_score": 0.5,
+            "pose_graph.constraint_builder.global_localization_min_score": 0.5,
+            "pose_graph.constraint_builder.fast_correlative_scan_matcher.linear_search_window": 3.0,
+            "pose_graph.constraint_builder.fast_correlative_scan_matcher.angular_search_window": math.radians(12.0),
+            "pose_graph.constraint_builder.fast_correlative_scan_matcher.branch_and_bound_depth": 5,
+            "pose_graph.constraint_builder.fast_correlative_scan_matcher.max_scan_range": 12.0,
+            "pose_graph.constraint_builder.fast_correlative_scan_matcher.beam_width": 2048,
+        }
+        tier2 = make_server(num_range_data=6, pg_overrides=pg_overrides)
+        tier2.start()
+        tier1a = make_server(uplink=f"localhost:{tier2.port}",
+                             upload_batch_size=2, num_range_data=6)
+        tier1b = make_server(uplink=f"localhost:{tier2.port}",
+                             upload_batch_size=2, num_range_data=6)
+        tier1a.start()
+        tier1b.start()
+        try:
+            world = make_wall_points(num=400, seed=11)
+            t0 = 1_000_000_000
+            stub_a = MapBuilderStub(f"localhost:{tier1a.port}")
+            stub_b = MapBuilderStub(f"localhost:{tier1b.port}")
+            tid_a = stub_a.add_trajectory_builder(["laser"])
+            tid_b = stub_b.add_trajectory_builder(["laser"])
+            offset = np.array([1.0, 0.5])
+            poses_b = []
+            for i in range(16):
+                scan = scan_at(world, np.array([0.05 * i, 0.0]), 0.0)
+                stub_a.add_sensor_data(tid_a, "laser", TimedPointCloudData(
+                    time=t0 + from_seconds(i * 0.1), origin=np.zeros(3, np.float32),
+                    ranges=scan, times=np.zeros(len(scan), np.float32)))
+                pos_b = offset + np.array([0.05 * i, 0.0])
+                poses_b.append(pos_b)
+                scan = scan_at(world, pos_b, 0.0)
+                stub_b.add_sensor_data(tid_b, "laser", TimedPointCloudData(
+                    time=2 * t0 + from_seconds(i * 0.1), origin=np.zeros(3, np.float32),
+                    ranges=scan, times=np.zeros(len(scan), np.float32)))
+            stub_a.finish_trajectory(tid_a)
+            stub_b.finish_trajectory(tid_b)
+
+            # Wait for tier-2 to ingest both robots' uploads.
+            deadline = time.time() + 60
+            pg2 = tier2.map_builder.pose_graph
+            while time.time() < deadline:
+                tier2._drain()
+                trajs = {t for (t, _), _ in pg2.nodes.items()}
+                if len(trajs) == 2 and len(pg2.nodes) >= 24:
+                    break
+                time.sleep(0.3)
+            trajs = sorted({t for (t, _), _ in pg2.nodes.items()})
+            assert len(trajs) == 2, f"tier-2 saw trajectories {trajs}"
+            assert pg2.num_inter_constraints() > 0, "no cross-robot constraint found"
+            assert pg2.transitively_connected(trajs[0], trajs[1])
+
+            pg2.run_final_optimization()
+            # Robot B's nodes must sit at their TRUE world positions: the
+            # inter-trajectory constraints correct B's local-frame offset.
+            errs = []
+            for (tid, ni), node in pg2.nodes.items():
+                if node.time < 2 * t0:
+                    continue  # robot A's nodes
+                gi = round((node.time - 2 * t0) / 100_000)
+                errs.append(np.linalg.norm(
+                    node.global_pose_2d[:2] - poses_b[gi]))
+            assert errs, "no nodes for robot B on tier-2"
+            assert float(np.mean(errs)) < 0.15, np.mean(errs)
+            stub_a.close()
+            stub_b.close()
+        finally:
+            tier1a.shutdown()
+            tier1b.shutdown()
             tier2.shutdown()
 
     def test_delayed_uplink_recovery(self, monkeypatch):
@@ -161,14 +257,16 @@ class TestTwoTier:
                 drive_scans(stub, tid, num=4, start_index=4)
                 stub.finish_trajectory(tid)
                 deadline = time.time() + 30
-                uploaded = []
                 while time.time() < deadline:
-                    uploaded = getattr(tier2, "uploaded_local_slam_results", [])
-                    if len(uploaded) >= 1:
+                    if tier2.num_uploaded_results >= 1:
                         break
                     time.sleep(0.3)
-                assert len(uploaded) >= 1, "uplink never recovered"
+                assert tier2.num_uploaded_results >= 1, "uplink never recovered"
                 assert tier1._uploader.num_recoveries >= 1
+                # Recovery skipped to the next fresh submap, so tier-2's
+                # SubmapController accepted at least one node.
+                tier2._drain()
+                assert len(tier2.map_builder.pose_graph.nodes) >= 1
             finally:
                 tier2.shutdown()
             stub.close()
