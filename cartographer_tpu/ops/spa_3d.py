@@ -2,15 +2,19 @@
 
 Reference: mapping/internal/optimization/optimization_problem_3d.cc — SE(3)
 constraints with quaternion parameterization (spa_cost_function_3d.h),
-Huber loss on inter-submap constraints. IMU/odometry/fixed-frame residuals
-are added by the pose graph layer as additional generic constraints.
+Huber loss on inter-submap constraints, and the IMU blocks of
+optimization_problem_3d.cc:365-446: per-trajectory learned `gravity_constant`
+(lower-bounded at 0) and `imu_calibration` quaternion shared by the
+acceleration triplets (AccelerationCostFunction3D) and the gyro rotation
+constraints (RotationCostFunction3D).
 
-TPU design: Gauss-Newton on the 6-dim tangent per pose ([dt, so3], boxplus
-retraction replacing Ceres' quaternion local parameterization); per-
-constraint Jacobians via vmapped jacfwd at the tangent origin; dense normal
-equations assembled by block scatter-add and solved with Cholesky. Weights
-are normalized by their maximum before squaring so the reference's 1e5-scale
-weights stay well-conditioned in float32 (Ceres solves in double).
+TPU design: Gauss-Newton on a flat tangent = [6 per pose | 4 per trajectory
+(gravity, so3 calibration)], boxplus retraction replacing Ceres' quaternion
+local parameterization; per-constraint Jacobians via vmapped jacfwd at the
+tangent origin; dense normal equations assembled by block scatter-add and
+solved with Cholesky. The gravity lower bound becomes a post-step clamp.
+Weights are normalized by their maximum before squaring so the reference's
+1e5-scale weights stay well-conditioned in float32 (Ceres solves in double).
 """
 
 from __future__ import annotations
@@ -26,9 +30,9 @@ from cartographer_tpu.transform import quaternion as quat
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SpaProblem3D:
-    """V pose slots ([t (3), q (4)]), C two-slot constraints, and optional
-    A acceleration triplets (IMU preintegration residuals,
-    optimization_problem_3d.cc:365-446)."""
+    """V pose slots ([t (3), q (4)]), C two-slot constraints, optional
+    A acceleration triplets and R gyro rotation constraints (both indexed
+    into T per-trajectory IMU variable blocks)."""
 
     translations: jnp.ndarray  # (V, 3)
     rotations: jnp.ndarray  # (V, 4)
@@ -47,28 +51,55 @@ class SpaProblem3D:
     acc_i: jnp.ndarray = None  # (A,)
     acc_j: jnp.ndarray = None  # (A,)
     acc_k: jnp.ndarray = None  # (A,)
-    acc_delta_v: jnp.ndarray = None  # (A, 3) integrated IMU delta velocity in frame j
+    acc_delta_v: jnp.ndarray = None  # (A, 3) IMU delta velocity in frame j (imu frame)
     acc_dt1: jnp.ndarray = None  # (A,) seconds i -> j
     acc_dt2: jnp.ndarray = None  # (A,) seconds j -> k
     acc_weight: jnp.ndarray = None  # (A,)
     acc_valid: jnp.ndarray = None  # (A,) bool
+    acc_traj: jnp.ndarray = None  # (A,) trajectory variable slot
+    # Gyro rotation constraints (RotationCostFunction3D), conjugated by the
+    # learned calibration so they cannot fold into the generic constraints.
+    rot_i: jnp.ndarray = None  # (R,)
+    rot_j: jnp.ndarray = None  # (R,)
+    rot_delta_q: jnp.ndarray = None  # (R, 4) gyro-integrated delta rotation
+    rot_c_weight: jnp.ndarray = None  # (R,)
+    rot_valid: jnp.ndarray = None  # (R,) bool
+    rot_traj: jnp.ndarray = None  # (R,) trajectory variable slot
+    # Per-trajectory IMU variable blocks (TrajectoryData).
+    gravity_init: jnp.ndarray = None  # (T,)
+    imu_calibration_init: jnp.ndarray = None  # (T, 4)
 
 
 def acceleration_residual_3d(ti, tj, tk, qj, delta_v, dt1, dt2, weight,
-                             gravity_constant=9.806) -> jnp.ndarray:
-    """AccelerationCostFunction3D: the world-frame velocity change between
-    the (i,j) and (j,k) intervals equals the IMU-measured specific-force
-    integral (delta_v, in frame j) minus world gravity:
-        second_diff = R_j * delta_v - g * z_world * dt_sum
-    Residual expressed in frame j. (The reference additionally learns a
-    per-trajectory gravity constant and IMU calibration quaternion; here
-    gravity is the configured constant and calibration is identity.)"""
+                             gravity=9.806, calib_q=None) -> jnp.ndarray:
+    """AccelerationCostFunction3D (acceleration_cost_function_3d.h): the
+    world-frame velocity change between the (i,j) and (j,k) interval midpoints
+    equals the IMU-measured specific-force integral (delta_v, in the IMU frame
+    at pose j) rotated by the learned calibration, minus world gravity:
+
+        r = w * (R_j * (calib ⊗ delta_v) - g * dt_sum * z  -  second_diff)
+        second_diff = (tk - tj)/dt2 - (tj - ti)/dt1
+    """
+    if calib_q is None:
+        calib_q = jnp.array([1.0, 0.0, 0.0, 0.0])
     dt_sum = 0.5 * (dt1 + dt2)
     second_diff = (tk - tj) / dt2 - (tj - ti) / dt1
     z_world = jnp.array([0.0, 0.0, 1.0])
-    lhs = quat.rotate(quat.conjugate(qj),
-                      second_diff + gravity_constant * dt_sum * z_world)
-    return weight * (lhs - delta_v)
+    imu_dv = (quat.rotate(qj, quat.rotate(calib_q, delta_v))
+              - gravity * dt_sum * z_world)
+    return weight * (imu_dv - second_diff)
+
+
+def rotation_residual_3d(qi, qj, delta_q, calib_q, weight) -> jnp.ndarray:
+    """RotationCostFunction3D (rotation_cost_function_3d.h): residual is the
+    vector part of  q_j^-1 ⊗ q_i ⊗ calib ⊗ delta_q ⊗ calib^-1."""
+    err = quat.multiply(
+        quat.conjugate(qj),
+        quat.multiply(qi,
+                      quat.multiply(calib_q,
+                                    quat.multiply(delta_q,
+                                                  quat.conjugate(calib_q)))))
+    return weight * err[1:4]
 
 
 def constraint_residual_3d(ta, qa, tb, qb, rel_t, rel_q, tw, rw) -> jnp.ndarray:
@@ -82,12 +113,50 @@ def constraint_residual_3d(ta, qa, tb, qb, rel_t, rel_q, tw, rw) -> jnp.ndarray:
     return jnp.concatenate([e_t, e_r])
 
 
+def _retract_pose(t, q, d6):
+    return (t + d6[..., 0:3],
+            quat.normalize(quat.multiply(q, quat.from_axis_angle(d6[..., 3:6]))))
+
+
 def solve_spa_3d(problem: SpaProblem3D, num_iterations: int = 50,
                  huber_scale: float = 1e1, damping: float = 1e-6,
-                 fix_z: bool = False, gravity_constant: float = 9.806):
-    """Returns (translations (V, 3), rotations (V, 4)) optimized."""
+                 fix_z: bool = False, gravity_constant: float = 9.806,
+                 learn_gravity: bool = False,
+                 learn_imu_calibration: bool = False,
+                 return_trajectory_data: bool = False):
+    """Gauss-Newton SPA solve.
+
+    Args:
+      learn_gravity: free the per-trajectory gravity constants (the reference
+        always frees them when IMU residuals exist and fix_z is off;
+        optimization_problem_3d.cc:444-446 keeps them >= 0).
+      learn_imu_calibration: free the calibration quaternions
+        (options use_online_imu_extrinsics_in_3d).
+      return_trajectory_data: additionally return (gravity (T,), calib (T,4)).
+
+    Returns (translations, rotations) optimized, plus trajectory data when
+    requested.
+    """
     V = problem.translations.shape[0]
     has_acc = problem.acc_i is not None
+    has_rot = problem.rot_i is not None
+
+    # Per-trajectory variable blocks; a single fixed block serves legacy
+    # problems that do not carry them.
+    if problem.gravity_init is not None:
+        g_init = problem.gravity_init
+    else:
+        g_init = jnp.full((1,), gravity_constant, jnp.float32)
+    if problem.imu_calibration_init is not None:
+        c_init = problem.imu_calibration_init
+    else:
+        c_init = jnp.tile(jnp.array([[1.0, 0.0, 0.0, 0.0]], jnp.float32),
+                          (g_init.shape[0], 1))
+    T = g_init.shape[0]
+    acc_traj = (problem.acc_traj if problem.acc_traj is not None
+                else (jnp.zeros_like(problem.acc_i) if has_acc else None))
+    rot_traj = (problem.rot_traj if problem.rot_traj is not None
+                else (jnp.zeros_like(problem.rot_i) if has_rot else None))
 
     # Normalize weights for f32 conditioning (argmin-invariant; Huber
     # threshold rescales by the same factor).
@@ -100,13 +169,12 @@ def solve_spa_3d(problem: SpaProblem3D, num_iterations: int = 50,
     huber = huber_scale / wmax
 
     def local_residual(da, db, ta, qa, tb, qb, rel_t, rel_q, tw_c, rw_c):
-        ta2 = ta + da[0:3]
-        qa2 = quat.normalize(quat.multiply(qa, quat.from_axis_angle(da[3:6])))
-        tb2 = tb + db[0:3]
-        qb2 = quat.normalize(quat.multiply(qb, quat.from_axis_angle(db[3:6])))
+        ta2, qa2 = _retract_pose(ta, qa, da)
+        tb2, qb2 = _retract_pose(tb, qb, db)
         return constraint_residual_3d(ta2, qa2, tb2, qb2, rel_t, rel_q, tw_c, rw_c)
 
     zero6 = jnp.zeros(6)
+    zero4 = jnp.zeros(4)  # trajectory tangent: [d_gravity, d_calib (so3)]
     jac_a = jax.vmap(jax.jacfwd(local_residual, argnums=0),
                      in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0))
     jac_b = jax.vmap(jax.jacfwd(local_residual, argnums=1),
@@ -114,9 +182,10 @@ def solve_spa_3d(problem: SpaProblem3D, num_iterations: int = 50,
     res_v = jax.vmap(constraint_residual_3d)
 
     free = ~problem.fixed
+    D = V * 6 + T * 4
 
     def iteration(state, _):
-        t, q = state
+        t, q, grav, calib = state
         ta, qa = t[problem.a_idx], q[problem.a_idx]
         tb, qb = t[problem.b_idx], q[problem.b_idx]
         r = res_v(ta, qa, tb, qb, problem.rel_t, problem.rel_q, tw, rw)
@@ -135,61 +204,105 @@ def solve_spa_3d(problem: SpaProblem3D, num_iterations: int = 50,
         cols = jnp.concatenate(
             [problem.a_idx[:, None] * 6 + jnp.arange(6)[None, :],
              problem.b_idx[:, None] * 6 + jnp.arange(6)[None, :]], axis=1)
-        H = jnp.zeros((V * 6, V * 6), jnp.float32)
+        H = jnp.zeros((D, D), jnp.float32)
         H = H.at[cols[:, :, None], cols[:, None, :]].add(JtJ)
-        g = jnp.zeros((V * 6,), jnp.float32).at[cols].add(Jtr)
+        g = jnp.zeros((D,), jnp.float32).at[cols].add(Jtr)
 
         if has_acc:
             aw = problem.acc_weight / wmax
 
-            def acc_local(d_i, d_j, d_k, ti, tj, tk, qj, dv, dt1, dt2, w):
+            def acc_local(d_i, d_j, d_k, d_t, ti, tj, tk, qj, gv, cq,
+                          dv, dt1, dt2, w):
                 ti2 = ti + d_i[0:3]
-                tj2 = tj + d_j[0:3]
                 tk2 = tk + d_k[0:3]
-                qj2 = quat.normalize(
-                    quat.multiply(qj, quat.from_axis_angle(d_j[3:6])))
+                tj2, qj2 = _retract_pose(tj, qj, d_j)
+                gv2 = gv + d_t[0]
+                cq2 = quat.normalize(
+                    quat.multiply(cq, quat.from_axis_angle(d_t[1:4])))
                 return acceleration_residual_3d(
-                    ti2, tj2, tk2, qj2, dv, dt1, dt2, w, gravity_constant)
+                    ti2, tj2, tk2, qj2, dv, dt1, dt2, w, gv2, cq2)
 
-            axes = (None, None, None, 0, 0, 0, 0, 0, 0, 0, 0)
-            ti_, tj_, tk_ = (t[problem.acc_i], t[problem.acc_j], t[problem.acc_k])
-            qj_ = q[problem.acc_j]
-            args = (ti_, tj_, tk_, qj_, problem.acc_delta_v,
-                    problem.acc_dt1, problem.acc_dt2, aw)
-            ra = jax.vmap(acc_local, in_axes=axes)(zero6, zero6, zero6, *args)
+            axes = (None, None, None, None, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+            args = (t[problem.acc_i], t[problem.acc_j], t[problem.acc_k],
+                    q[problem.acc_j], grav[acc_traj], calib[acc_traj],
+                    problem.acc_delta_v, problem.acc_dt1, problem.acc_dt2, aw)
+            ra = jax.vmap(acc_local, in_axes=axes)(
+                zero6, zero6, zero6, zero4, *args)
             wv = problem.acc_valid.astype(jnp.float32)[:, None]
             ra = ra * wv
-            Ji = jax.vmap(jax.jacfwd(acc_local, argnums=0), in_axes=axes)(
-                zero6, zero6, zero6, *args) * wv[:, :, None]
-            Jj = jax.vmap(jax.jacfwd(acc_local, argnums=1), in_axes=axes)(
-                zero6, zero6, zero6, *args) * wv[:, :, None]
-            Jk = jax.vmap(jax.jacfwd(acc_local, argnums=2), in_axes=axes)(
-                zero6, zero6, zero6, *args) * wv[:, :, None]
-            Ja3 = jnp.concatenate([Ji, Jj, Jk], axis=-1)  # (A, 3, 18)
+            jacs = [jax.vmap(jax.jacfwd(acc_local, argnums=n), in_axes=axes)(
+                        zero6, zero6, zero6, zero4, *args) * wv[:, :, None]
+                    for n in (0, 1, 2, 3)]
+            Ja3 = jnp.concatenate(jacs, axis=-1)  # (A, 3, 22)
             JtJ3 = jnp.einsum("cri,crj->cij", Ja3, Ja3)
             Jtr3 = jnp.einsum("cri,cr->ci", Ja3, ra)
             cols3 = jnp.concatenate(
                 [problem.acc_i[:, None] * 6 + jnp.arange(6)[None, :],
                  problem.acc_j[:, None] * 6 + jnp.arange(6)[None, :],
-                 problem.acc_k[:, None] * 6 + jnp.arange(6)[None, :]], axis=1)
+                 problem.acc_k[:, None] * 6 + jnp.arange(6)[None, :],
+                 V * 6 + acc_traj[:, None] * 4 + jnp.arange(4)[None, :]],
+                axis=1)
             H = H.at[cols3[:, :, None], cols3[:, None, :]].add(JtJ3)
             g = g.at[cols3].add(Jtr3)
 
-        free_flat = jnp.repeat(free, 6)
+        if has_rot:
+            gw = problem.rot_c_weight / wmax
+
+            def rot_local(d_i, d_j, d_t, qi, qj, cq, dq, w):
+                qi2 = quat.normalize(
+                    quat.multiply(qi, quat.from_axis_angle(d_i[3:6])))
+                qj2 = quat.normalize(
+                    quat.multiply(qj, quat.from_axis_angle(d_j[3:6])))
+                cq2 = quat.normalize(
+                    quat.multiply(cq, quat.from_axis_angle(d_t[1:4])))
+                return rotation_residual_3d(qi2, qj2, dq, cq2, w)
+
+            axes = (None, None, None, 0, 0, 0, 0, 0)
+            args = (q[problem.rot_i], q[problem.rot_j], calib[rot_traj],
+                    problem.rot_delta_q, gw)
+            rr = jax.vmap(rot_local, in_axes=axes)(zero6, zero6, zero4, *args)
+            wv = problem.rot_valid.astype(jnp.float32)[:, None]
+            rr = rr * wv
+            jacs = [jax.vmap(jax.jacfwd(rot_local, argnums=n), in_axes=axes)(
+                        zero6, zero6, zero4, *args) * wv[:, :, None]
+                    for n in (0, 1, 2)]
+            Jr = jnp.concatenate(jacs, axis=-1)  # (R, 3, 16)
+            JtJr = jnp.einsum("cri,crj->cij", Jr, Jr)
+            Jtrr = jnp.einsum("cri,cr->ci", Jr, rr)
+            colsr = jnp.concatenate(
+                [problem.rot_i[:, None] * 6 + jnp.arange(6)[None, :],
+                 problem.rot_j[:, None] * 6 + jnp.arange(6)[None, :],
+                 V * 6 + rot_traj[:, None] * 4 + jnp.arange(4)[None, :]],
+                axis=1)
+            H = H.at[colsr[:, :, None], colsr[:, None, :]].add(JtJr)
+            g = g.at[colsr].add(Jtrr)
+
+        pose_free = jnp.repeat(free, 6)
         if fix_z:
             # optimization_problem options fix_z_in_3d: freeze the z tangent.
             z_mask = jnp.tile(jnp.array([True, True, False, True, True, True]), V)
-            free_flat = free_flat & z_mask
+            pose_free = pose_free & z_mask
+        traj_free = jnp.tile(
+            jnp.array([learn_gravity] + [learn_imu_calibration] * 3), T)
+        free_flat = jnp.concatenate([pose_free, traj_free])
         H = H * (free_flat[:, None] & free_flat[None, :])
         H = H + jnp.diag(jnp.where(free_flat, damping, 1.0))
         g = jnp.where(free_flat, g, 0.0)
         dx = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(H), -g)
-        dx = dx.reshape(V, 6)
-        t = t + dx[:, 0:3]
-        q = quat.normalize(quat.multiply(q, quat.from_axis_angle(dx[:, 3:6])))
-        return (t, q), None
+        dp = dx[:V * 6].reshape(V, 6)
+        t = t + dp[:, 0:3]
+        q = quat.normalize(quat.multiply(q, quat.from_axis_angle(dp[:, 3:6])))
+        dt_traj = dx[V * 6:].reshape(T, 4)
+        # SetParameterLowerBound(gravity, 0, 0.0): projected GN step.
+        grav = jnp.maximum(grav + dt_traj[:, 0], 0.0)
+        calib = quat.normalize(
+            quat.multiply(calib, quat.from_axis_angle(dt_traj[:, 1:4])))
+        return (t, q, grav, calib), None
 
-    (t, q), _ = jax.lax.scan(
-        iteration, (problem.translations, problem.rotations), None,
+    (t, q, grav, calib), _ = jax.lax.scan(
+        iteration,
+        (problem.translations, problem.rotations, g_init, c_init), None,
         length=num_iterations)
+    if return_trajectory_data:
+        return t, q, grav, calib
     return t, q
