@@ -37,6 +37,13 @@ class TpuOptions2D:
     filtered_capacity: int = 1024  # max points after voxel filtering
     submap_grid_size: int = 1024  # cells per side (x resolution -> extent)
     ray_samples: int = 800  # free-space samples per ray (>= 2*max_range/res)
+    # Static capacity of the adaptively-filtered matching cloud. The adaptive
+    # filter targets min_num_points (default 200) survivors out of
+    # filtered_capacity; the matcher kernels (count-image/bicubic matmuls)
+    # pay per-capacity cost, so the filtered cloud is compacted to this many
+    # points before matching. Must exceed the adaptive filter's worst-case
+    # survivor count (~2x min_num_points at the 10% bisection tolerance).
+    matcher_capacity: int = 512
 
 
 @dataclasses.dataclass(frozen=True)
@@ -358,10 +365,13 @@ class MapBuilderOptions:
     num_background_threads: int = 4
     pose_graph: PoseGraphOptions = _d(PoseGraphOptions)
     collate_by_trajectory: bool = False
-    # TPU build: run loop-closure searches on num_background_threads while
-    # the frontend continues (reference P2 pipelining). Off by default for
-    # deterministic constraint sampling.
-    async_constraint_search: bool = False
+    # TPU build: run loop-closure searches on num_background_threads and SPA
+    # solves on an optimizer thread while the frontend continues — the
+    # reference's always-on pipelined model (pose_graph_2d.cc:520-544
+    # DrainWorkQueue). Like the reference, thread completion order makes the
+    # sampled constraint set nondeterministic; set False for deterministic
+    # inline execution (used by reproducibility-sensitive tests).
+    async_constraint_search: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -375,6 +385,9 @@ class MapBuilderServerOptions:
     upload_batch_size: int = 100
     enable_ssl_encryption: bool = False
     enable_google_auth: bool = False
+    # Prometheus pull endpoint (map_builder_server_main.cc:42-47 exposes
+    # metrics at :9100/metrics). 0 = pick a free port; None/-1 = disabled.
+    monitoring_port: Optional[int] = 0
 
 
 # ---------------------------------------------------------------------------

@@ -48,6 +48,11 @@ class GlobalTrajectoryBuilder:
         self._pose_graph = pose_graph
         self._callback = local_slam_result_callback
         self._submap_controller = submap_controller
+        # RegisterMetrics (global_trajectory_builder.cc:173-179).
+        from cartographer_tpu import metrics as m
+        self._metric_results = m.GLOBAL_FACTORY.new_counter_family(
+            "mapping_global_trajectory_builder_local_slam_results",
+            "Local SLAM results").add({})
 
     def add_local_slam_result(self, data) -> None:
         """Tier-2 path: feed a pre-matched local-SLAM result into the pose
@@ -79,6 +84,7 @@ class GlobalTrajectoryBuilder:
         result = self._local.add_range_data(sensor_id, data)
         if result is None:
             return
+        self._metric_results.increment()
         node_id = None
         if result.insertion_result is not None:
             ir = result.insertion_result
@@ -127,6 +133,11 @@ class GlobalTrajectoryBuilder3D:
         self._pose_graph = pose_graph
         self._callback = local_slam_result_callback
         self._submap_controller = submap_controller
+        # RegisterMetrics (global_trajectory_builder.cc:173-179).
+        from cartographer_tpu import metrics as m
+        self._metric_results = m.GLOBAL_FACTORY.new_counter_family(
+            "mapping_global_trajectory_builder_local_slam_results",
+            "Local SLAM results").add({})
 
     def add_local_slam_result(self, data) -> None:
         """Tier-2 path (local_slam_result_3d.cc AddToPoseGraph)."""
@@ -162,6 +173,7 @@ class GlobalTrajectoryBuilder3D:
         result = self._local.add_range_data(sensor_id, data)
         if result is None:
             return
+        self._metric_results.increment()
         if result.insertion_result is not None:
             ir = result.insertion_result
             node = TrajectoryNode3D(
@@ -205,17 +217,18 @@ class MapBuilder:
         if not options.use_trajectory_builder_2d and not options.use_trajectory_builder_3d:
             raise ValueError("one of use_trajectory_builder_2d/3d must be set")
         self._options = options
+        # Background constraint search + pipelined optimization (reference P2)
+        # is the default, exactly as in the reference; completion order makes
+        # the sampled constraint set nondeterministic there too.
+        threads = (options.num_background_threads
+                   if options.async_constraint_search else 0)
         if options.use_trajectory_builder_3d:
             from cartographer_tpu.mapping.pose_graph_3d import PoseGraph3D
-            self.pose_graph = PoseGraph3D(options.pose_graph)
+            self.pose_graph = PoseGraph3D(options.pose_graph,
+                                          num_background_threads=threads)
         else:
-            # Background constraint search (reference P2 pipelining) is
-            # opt-in: the thread-pool completion order makes the sampled
-            # constraint set nondeterministic, exactly as in the reference.
-            self.pose_graph = PoseGraph2D(
-                options.pose_graph,
-                num_background_threads=(options.num_background_threads
-                                        if options.async_constraint_search else 0))
+            self.pose_graph = PoseGraph2D(options.pose_graph,
+                                          num_background_threads=threads)
         self._collator = (TrajectoryCollator() if options.collate_by_trajectory
                           else Collator())
         self._builders: Dict[int, GlobalTrajectoryBuilder] = {}
@@ -337,6 +350,11 @@ class MapBuilder:
         from cartographer_tpu.io.pbstream import ProtoStreamWriter
         from cartographer_tpu.io.serialization import serialize_state
 
+        # Drain pending background work so the snapshot is consistent.
+        if hasattr(self.pose_graph, "wait_for_optimization"):
+            self.pose_graph.wait_for_optimization()
+        if hasattr(self.pose_graph, "wait_for_all_computations"):
+            self.pose_graph.wait_for_all_computations()
         writer = (writer_or_path if isinstance(writer_or_path, ProtoStreamWriter)
                   else ProtoStreamWriter(writer_or_path))
         serialize_state(self.pose_graph, writer, include_unfinished_submaps)

@@ -97,11 +97,18 @@ class PoseGraph2D:
         self._metric_pending = factory.new_gauge_family(
             "mapping_2d_pose_graph_work_queue_depth",
             "Pending background constraint searches").add({})
+        self._optimizer_executor = None
+        self._optimization_future = None
         if num_background_threads > 0:
             from concurrent.futures import ThreadPoolExecutor
             self._executor = ThreadPoolExecutor(
                 max_workers=num_background_threads,
                 thread_name_prefix="constraint")
+            # A single optimizer thread serializes SPA solves, mirroring the
+            # reference's work queue: the frontend never blocks on
+            # optimization (pose_graph_2d.cc:520-544 DrainWorkQueue).
+            self._optimizer_executor = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="optimizer")
         self.nodes: MapById[TrajectoryNode] = MapById()
         self.submap_data: MapById[SubmapDataEntry] = MapById()
         self.constraints: List[Constraint] = []
@@ -149,63 +156,89 @@ class PoseGraph2D:
                  insertion_submaps: List[Submap2D],
                  finished_submaps: List[Submap2D]) -> NodeId:
         """Equivalent of PoseGraph2D::AddNode + ComputeConstraintsForNode
-        (pose_graph_2d.cc:126-170, 312-402), synchronously."""
-        self._find(trajectory_id)
-        self.trajectory_states.setdefault(trajectory_id, "ACTIVE")
-        node_index = self.nodes.append(trajectory_id, node)
-        node_id = NodeId(trajectory_id, node_index)
+        (pose_graph_2d.cc:126-170, 312-402); bookkeeping under the graph
+        lock, searches possibly on the background pool."""
+        with self._result_lock:
+            self._find(trajectory_id)
+            self.trajectory_states.setdefault(trajectory_id, "ACTIVE")
+            node_index = self.nodes.append(trajectory_id, node)
+            node_id = NodeId(trajectory_id, node_index)
 
-        # Register insertion submaps (the <= 2 active ones).
-        submap_ids = self._register_insertion_submaps(trajectory_id, insertion_submaps)
-        for sid, submap in zip(submap_ids, insertion_submaps):
-            self.submap_data[sid].node_ids.add(node_id)
+            # Register insertion submaps (the <= 2 active ones).
+            submap_ids = self._register_insertion_submaps(
+                trajectory_id, insertion_submaps)
+            for sid, submap in zip(submap_ids, insertion_submaps):
+                self.submap_data[sid].node_ids.add(node_id)
 
-        node_pose_2d = _pose2d_of_node(node)
-        # Global pose from the first insertion submap's optimized pose.
-        first = self.submap_data[submap_ids[0]]
-        local_submap_pose = self._submap_local_pose_2d(first.submap)
-        node.global_pose_2d = _compose2d(
-            first.global_pose_2d, _compose2d(_inverse2d(local_submap_pose), node_pose_2d))
+            node_pose_2d = _pose2d_of_node(node)
+            # Global pose from the first insertion submap's optimized pose.
+            first = self.submap_data[submap_ids[0]]
+            local_submap_pose = self._submap_local_pose_2d(first.submap)
+            node.global_pose_2d = _compose2d(
+                first.global_pose_2d,
+                _compose2d(_inverse2d(local_submap_pose), node_pose_2d))
 
-        # INTRA constraints to the insertion submaps.
-        for sid in submap_ids:
-            entry = self.submap_data[sid]
-            rel = _compose2d(
-                _inverse2d(self._submap_local_pose_2d(entry.submap)), node_pose_2d)
-            self.constraints.append(Constraint(
-                submap_id=sid, node_id=node_id, rel=rel,
-                translation_weight=self._options.matcher_translation_weight,
-                rotation_weight=self._options.matcher_rotation_weight,
-                tag="INTRA_SUBMAP"))
-            self._metric_intra.increment()
+            # INTRA constraints to the insertion submaps.
+            for sid in submap_ids:
+                entry = self.submap_data[sid]
+                rel = _compose2d(
+                    _inverse2d(self._submap_local_pose_2d(entry.submap)),
+                    node_pose_2d)
+                self.constraints.append(Constraint(
+                    submap_id=sid, node_id=node_id, rel=rel,
+                    translation_weight=self._options.matcher_translation_weight,
+                    rotation_weight=self._options.matcher_rotation_weight,
+                    tag="INTRA_SUBMAP"))
+                self._metric_intra.increment()
 
-        # Mark newly finished submaps and search their loop closures.
-        newly_finished: List[SubmapId] = []
-        for submap in finished_submaps:
+            # Mark newly finished submaps and search their loop closures.
+            newly_finished: List[SubmapId] = []
+            for submap in finished_submaps:
+                for (tid, sindex), entry in self.submap_data.items():
+                    if entry.submap is submap and not entry.finished:
+                        entry.finished = True
+                        newly_finished.append(SubmapId(tid, sindex))
+
+            # Loop closure pairs: this node vs all finished submaps, and all
+            # old nodes vs newly finished submaps.
+            pairs = []
             for (tid, sindex), entry in self.submap_data.items():
-                if entry.submap is submap and not entry.finished:
-                    entry.finished = True
-                    newly_finished.append(SubmapId(tid, sindex))
-
-        # Loop closure: this node vs all finished submaps...
-        for (tid, sindex), entry in self.submap_data.items():
-            sid = SubmapId(tid, sindex)
-            if entry.finished and node_id not in entry.node_ids:
-                self._schedule_constraint(node_id, sid)
-        # ...and all old nodes vs newly finished submaps.
-        for sid in newly_finished:
-            entry = self.submap_data[sid]
-            for (tid, nindex), _ in self.nodes.items():
-                nid = NodeId(tid, nindex)
-                if nid not in entry.node_ids:
-                    self._schedule_constraint(nid, sid)
+                sid = SubmapId(tid, sindex)
+                if entry.finished and node_id not in entry.node_ids:
+                    pairs.append((node_id, sid))
+            for sid in newly_finished:
+                entry = self.submap_data[sid]
+                for (tid, nindex), _ in self.nodes.items():
+                    nid = NodeId(tid, nindex)
+                    if nid not in entry.node_ids:
+                        pairs.append((nid, sid))
+        for nid, sid in pairs:
+            self._schedule_constraint(nid, sid)
 
         self._num_nodes_since_last_optimization += 1
         if (self._options.optimize_every_n_nodes > 0
                 and self._num_nodes_since_last_optimization
                 >= self._options.optimize_every_n_nodes):
-            self.run_optimization()
+            self._schedule_optimization()
         return node_id
+
+    def _schedule_optimization(self) -> None:
+        """Run the SPA solve on the optimizer thread when in background mode
+        (the frontend keeps adding nodes; un-optimized tail poses are
+        extrapolated at write-back), inline otherwise."""
+        if self._optimizer_executor is None:
+            self.run_optimization()
+            return
+        if self._optimization_future is not None and not self._optimization_future.done():
+            return  # one solve at a time; the next cadence re-triggers
+        self._num_nodes_since_last_optimization = 0
+        self._optimization_future = self._optimizer_executor.submit(
+            self.run_optimization)
+
+    def wait_for_optimization(self) -> None:
+        future, self._optimization_future = self._optimization_future, None
+        if future is not None:
+            future.result()
 
     def _submap_local_pose_2d(self, submap: Submap2D) -> np.ndarray:
         q = submap.local_pose_rotation
@@ -372,6 +405,10 @@ class PoseGraph2D:
             return
         num_iterations = num_iterations or self._options.optimization_problem.max_num_iterations
 
+        # Snapshot the problem under the graph lock; the device solve below
+        # runs lock-free while the frontend keeps appending (the appended
+        # tail is extrapolated at write-back, pose_graph_2d.cc:874-908).
+        self._result_lock.acquire()
         submap_slots: Dict[SubmapId, int] = {}
         node_slots: Dict[NodeId, int] = {}
         poses = []
@@ -384,6 +421,13 @@ class PoseGraph2D:
             node_slots[NodeId(tid, nindex)] = len(poses)
             poses.append(node.global_pose_2d)
             fixed.append(tid in self._frozen_trajectories)
+        # Anchor for tail extrapolation: the last snapshotted submap pose of
+        # each trajectory, before and (later) after the solve.
+        tail_anchor: Dict[int, SubmapId] = {}
+        for (tid, sindex), _ in self.submap_data.items():
+            tail_anchor[tid] = SubmapId(tid, sindex)
+        anchor_old = {tid: self.submap_data[sid].global_pose_2d.copy()
+                      for tid, sid in tail_anchor.items()}
 
         a_idx, b_idx, rels, tws, rws, hubers = [], [], [], [], [], []
         for c in self.constraints:
@@ -511,6 +555,8 @@ class PoseGraph2D:
             out[: len(arr)] = arr
             return out
 
+        self._result_lock.release()
+
         problem = SpaProblem2D(
             poses=jnp.asarray(np.asarray(poses, np.float32)),
             a_idx=jnp.asarray(pad(a_idx, (cap,), np.int32)),
@@ -526,18 +572,37 @@ class PoseGraph2D:
             problem, num_iterations=num_iterations,
             huber_scale=self._options.optimization_problem.huber_scale))
 
-        for sid, slot in submap_slots.items():
-            self.submap_data[sid].global_pose_2d = solved[slot].astype(np.float64)
-        for nid, slot in node_slots.items():
-            self.nodes[nid].global_pose_2d = solved[slot].astype(np.float64)
-        for lid, slot in landmark_slots.items():
-            self.landmark_poses[lid] = solved[slot].astype(np.float64)
-        self._num_nodes_since_last_optimization = 0
-        self._run_trimmers()
+        with self._result_lock:
+            for sid, slot in submap_slots.items():
+                if sid in self.submap_data:
+                    self.submap_data[sid].global_pose_2d = solved[slot].astype(np.float64)
+            for nid, slot in node_slots.items():
+                if nid in self.nodes:
+                    self.nodes[nid].global_pose_2d = solved[slot].astype(np.float64)
+            for lid, slot in landmark_slots.items():
+                self.landmark_poses[lid] = solved[slot].astype(np.float64)
+            # Extrapolate submaps/nodes appended while the solve ran: shift
+            # them by the correction of their trajectory's anchor submap
+            # (last optimized), new_anchor * old_anchor^-1.
+            corrections = {
+                tid: _compose2d(self.submap_data[sid].global_pose_2d,
+                                _inverse2d(anchor_old[tid]))
+                for tid, sid in tail_anchor.items() if sid in self.submap_data}
+            for (tid, sindex), entry in self.submap_data.items():
+                if SubmapId(tid, sindex) not in submap_slots and tid in corrections:
+                    entry.global_pose_2d = _compose2d(
+                        corrections[tid], entry.global_pose_2d)
+            for (tid, nindex), node in self.nodes.items():
+                if NodeId(tid, nindex) not in node_slots and tid in corrections:
+                    node.global_pose_2d = _compose2d(
+                        corrections[tid], node.global_pose_2d)
+            self._num_nodes_since_last_optimization = 0
+            self._run_trimmers()
         for cb in self._global_optimization_callbacks:
             cb()
 
     def run_final_optimization(self) -> None:
+        self.wait_for_optimization()
         self.run_optimization(self._options.max_num_final_iterations)
 
     # ------------------------------------------------------------ trimming

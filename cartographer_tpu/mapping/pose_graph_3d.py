@@ -80,8 +80,25 @@ def _inverse(t, q):
 
 
 class PoseGraph3D:
-    def __init__(self, options: PoseGraphOptions):
+    def __init__(self, options: PoseGraphOptions, num_background_threads: int = 0):
+        """`num_background_threads` > 0 enables the reference's pipelined
+        frontend/backend concurrency (P2): constraint searches run on a pool
+        and SPA solves on a dedicated optimizer thread, with the frontend
+        never blocking (pose_graph_3d.cc work-queue model)."""
         self._options = options
+        import threading
+        self._result_lock = threading.Lock()
+        self._executor = None
+        self._optimizer_executor = None
+        self._optimization_future = None
+        self._pending_futures: List = []
+        if num_background_threads > 0:
+            from concurrent.futures import ThreadPoolExecutor
+            self._executor = ThreadPoolExecutor(
+                max_workers=num_background_threads,
+                thread_name_prefix="constraint3d")
+            self._optimizer_executor = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="optimizer3d")
         cb = options.constraint_builder
         fcsm = cb.fast_correlative_scan_matcher_3d
         self._bnb_params = FastCorrelativeMatcherParams3D(
@@ -119,6 +136,10 @@ class PoseGraph3D:
         self._global_optimization_callbacks: List = []
         # PoseGraphInterface::TrajectoryState
         self.trajectory_states: Dict[int, str] = {}
+        # Per-trajectory learned IMU variables (OptimizationProblem3D
+        # TrajectoryData): gravity constant + calibration quaternion, carried
+        # across optimizations.
+        self.trajectory_data: Dict[int, Dict[str, np.ndarray]] = {}
 
     # ---------------------------------------------------------- sensor intake
 
@@ -180,58 +201,90 @@ class PoseGraph3D:
     def add_node(self, trajectory_id: int, node: TrajectoryNode3D,
                  insertion_submaps: List[Submap3D],
                  finished_submaps: List[Submap3D]) -> NodeId:
-        self._find(trajectory_id)
-        self.trajectory_states.setdefault(trajectory_id, "ACTIVE")
-        node_index = self.nodes.append(trajectory_id, node)
-        node_id = NodeId(trajectory_id, node_index)
+        with self._result_lock:
+            self._find(trajectory_id)
+            self.trajectory_states.setdefault(trajectory_id, "ACTIVE")
+            node_index = self.nodes.append(trajectory_id, node)
+            node_id = NodeId(trajectory_id, node_index)
 
-        submap_ids = self._register_insertion_submaps(trajectory_id, insertion_submaps)
-        for sid in submap_ids:
-            self.submap_data[sid].node_ids.add(node_id)
+            submap_ids = self._register_insertion_submaps(
+                trajectory_id, insertion_submaps)
+            for sid in submap_ids:
+                self.submap_data[sid].node_ids.add(node_id)
 
-        first = self.submap_data[submap_ids[0]]
-        anchor_t = first.submap.local_pose_translation
-        rel_t = node.local_pose_translation - anchor_t
-        node.global_t, node.global_q = _compose(
-            first.global_t, first.global_q,
-            nquat.rotate(nquat.conjugate(np.array([1.0, 0, 0, 0])), rel_t),
-            node.local_pose_rotation)
+            first = self.submap_data[submap_ids[0]]
+            anchor_t = first.submap.local_pose_translation
+            rel_t = node.local_pose_translation - anchor_t
+            node.global_t, node.global_q = _compose(
+                first.global_t, first.global_q,
+                nquat.rotate(nquat.conjugate(np.array([1.0, 0, 0, 0])), rel_t),
+                node.local_pose_rotation)
 
-        for sid in submap_ids:
-            entry = self.submap_data[sid]
-            a_t = entry.submap.local_pose_translation
-            self.constraints.append(Constraint3D(
-                submap_id=sid, node_id=node_id,
-                rel_t=node.local_pose_translation - a_t,
-                rel_q=node.local_pose_rotation.copy(),
-                translation_weight=self._options.matcher_translation_weight,
-                rotation_weight=self._options.matcher_rotation_weight,
-                tag="INTRA_SUBMAP"))
+            for sid in submap_ids:
+                entry = self.submap_data[sid]
+                a_t = entry.submap.local_pose_translation
+                self.constraints.append(Constraint3D(
+                    submap_id=sid, node_id=node_id,
+                    rel_t=node.local_pose_translation - a_t,
+                    rel_q=node.local_pose_rotation.copy(),
+                    translation_weight=self._options.matcher_translation_weight,
+                    rotation_weight=self._options.matcher_rotation_weight,
+                    tag="INTRA_SUBMAP"))
 
-        newly_finished: List[SubmapId] = []
-        for submap in finished_submaps:
+            newly_finished: List[SubmapId] = []
+            for submap in finished_submaps:
+                for (tid, sindex), entry in self.submap_data.items():
+                    if entry.submap is submap and not entry.finished:
+                        entry.finished = True
+                        newly_finished.append(SubmapId(tid, sindex))
+
+            pairs = []
             for (tid, sindex), entry in self.submap_data.items():
-                if entry.submap is submap and not entry.finished:
-                    entry.finished = True
-                    newly_finished.append(SubmapId(tid, sindex))
-
-        for (tid, sindex), entry in self.submap_data.items():
-            sid = SubmapId(tid, sindex)
-            if entry.finished and node_id not in entry.node_ids:
-                self._compute_constraint(node_id, sid)
-        for sid in newly_finished:
-            entry = self.submap_data[sid]
-            for (tid, nindex), _ in self.nodes.items():
-                nid = NodeId(tid, nindex)
-                if nid not in entry.node_ids:
-                    self._compute_constraint(nid, sid)
+                sid = SubmapId(tid, sindex)
+                if entry.finished and node_id not in entry.node_ids:
+                    pairs.append((node_id, sid))
+            for sid in newly_finished:
+                entry = self.submap_data[sid]
+                for (tid, nindex), _ in self.nodes.items():
+                    nid = NodeId(tid, nindex)
+                    if nid not in entry.node_ids:
+                        pairs.append((nid, sid))
+        for nid, sid in pairs:
+            self._schedule_constraint(nid, sid)
 
         self._num_nodes_since_last_optimization += 1
         if (self._options.optimize_every_n_nodes > 0
                 and self._num_nodes_since_last_optimization
                 >= self._options.optimize_every_n_nodes):
-            self.run_optimization()
+            self._schedule_optimization()
         return node_id
+
+    def _schedule_constraint(self, node_id: NodeId, submap_id: SubmapId) -> None:
+        if self._executor is None:
+            self._compute_constraint(node_id, submap_id)
+        else:
+            self._pending_futures.append(
+                self._executor.submit(self._compute_constraint, node_id, submap_id))
+
+    def wait_for_all_computations(self) -> None:
+        futures, self._pending_futures = self._pending_futures, []
+        for f in futures:
+            f.result()
+
+    def _schedule_optimization(self) -> None:
+        if self._optimizer_executor is None:
+            self.run_optimization()
+            return
+        if self._optimization_future is not None and not self._optimization_future.done():
+            return
+        self._num_nodes_since_last_optimization = 0
+        self._optimization_future = self._optimizer_executor.submit(
+            self.run_optimization)
+
+    def wait_for_optimization(self) -> None:
+        future, self._optimization_future = self._optimization_future, None
+        if future is not None:
+            future.result()
 
     def _register_insertion_submaps(self, trajectory_id, insertion_submaps):
         existing = {id(e.submap): SubmapId(t, i)
@@ -260,28 +313,36 @@ class PoseGraph3D:
     # ---------------------------------------------------------- loop closure
 
     def _compute_constraint(self, node_id: NodeId, submap_id: SubmapId) -> None:
-        node = self.nodes[node_id]
-        entry = self.submap_data[submap_id]
-        if entry.submap.high_grid is None or len(node.high_res_cloud) == 0:
-            return
-        anchor_t = np.asarray(entry.submap.local_pose_translation, float)
-        # Node estimate in the grid (local) frame: anchor * (submap^-1 * node).
-        inv_t, inv_q = _inverse(entry.global_t, entry.global_q)
-        rel_t, rel_q = _compose(inv_t, inv_q, node.global_t, node.global_q)
-        init_t = anchor_t + rel_t
-        if np.linalg.norm(rel_t) > self._options.constraint_builder.max_constraint_distance:
-            return
-        sampler = self._samplers.setdefault(
-            submap_id, FixedRatioSampler(self._options.constraint_builder.sampling_ratio))
-        if not sampler.pulse():
-            return
+        with self._result_lock:
+            node = self.nodes[node_id]
+            entry = self.submap_data[submap_id]
+            if entry.submap.high_grid is None or len(node.high_res_cloud) == 0:
+                return
+            anchor_t = np.asarray(entry.submap.local_pose_translation, float)
+            # Node estimate in the grid (local) frame:
+            # anchor * (submap^-1 * node).
+            inv_t, inv_q = _inverse(entry.global_t, entry.global_q)
+            rel_t, rel_q = _compose(inv_t, inv_q, node.global_t, node.global_q)
+            init_t = anchor_t + rel_t
+            if (np.linalg.norm(rel_t)
+                    > self._options.constraint_builder.max_constraint_distance):
+                return
+            sampler = self._samplers.setdefault(
+                submap_id,
+                FixedRatioSampler(self._options.constraint_builder.sampling_ratio))
+            if not sampler.pulse():
+                return
+            pyramid = self._pyramids.get(submap_id)
 
-        if submap_id not in self._pyramids:
-            self._pyramids[submap_id] = build_precomputation_pyramid_3d(
+        if pyramid is None:
+            # Built outside the lock (device work); a duplicate concurrent
+            # build is idempotent, last writer wins.
+            pyramid = build_precomputation_pyramid_3d(
                 entry.submap.high_grid.probability(),
                 self._bnb_params.branch_and_bound_depth,
                 self._bnb_params.full_resolution_depth)
-        pyramid = self._pyramids[submap_id]
+            with self._result_lock:
+                self._pyramids[submap_id] = pyramid
 
         def pad_cloud(cloud, cap):
             out = np.zeros((cap, 3), np.float32)
@@ -311,22 +372,27 @@ class PoseGraph3D:
             pose, self._gn_params)
         grid_t = np.asarray(refined.translation, float)
         grid_q = nquat.normalize(np.asarray(refined.rotation, float))
-        self.constraints.append(Constraint3D(
-            submap_id=submap_id, node_id=node_id,
-            rel_t=grid_t - anchor_t, rel_q=grid_q,
-            translation_weight=self._options.constraint_builder.loop_closure_translation_weight,
-            rotation_weight=self._options.constraint_builder.loop_closure_rotation_weight,
-            tag="INTER_SUBMAP"))
-        self._union(node_id.trajectory_id, submap_id.trajectory_id, node.time)
+        with self._result_lock:
+            self.constraints.append(Constraint3D(
+                submap_id=submap_id, node_id=node_id,
+                rel_t=grid_t - anchor_t, rel_q=grid_q,
+                translation_weight=self._options.constraint_builder.loop_closure_translation_weight,
+                rotation_weight=self._options.constraint_builder.loop_closure_rotation_weight,
+                tag="INTER_SUBMAP"))
+            self._union(node_id.trajectory_id, submap_id.trajectory_id, node.time)
 
     # ---------------------------------------------------------- optimization
 
     def run_optimization(self, num_iterations: Optional[int] = None) -> None:
+        self.wait_for_all_computations()
         if self.submap_data.empty() or not self.constraints:
             self._num_nodes_since_last_optimization = 0
             return
         num_iterations = num_iterations or self._options.optimization_problem.max_num_iterations
 
+        # Snapshot the problem under the graph lock; the solve below runs
+        # lock-free while the frontend appends (tail extrapolated after).
+        self._result_lock.acquire()
         submap_slots: Dict[SubmapId, int] = {}
         node_slots: Dict[NodeId, int] = {}
         ts, qs, fixed = [], [], []
@@ -340,6 +406,13 @@ class PoseGraph3D:
             ts.append(node.global_t)
             qs.append(node.global_q)
             fixed.append(tid in self._frozen_trajectories)
+        tail_anchor: Dict[int, SubmapId] = {}
+        for (tid, sindex), _ in self.submap_data.items():
+            tail_anchor[tid] = SubmapId(tid, sindex)
+        anchor_old = {
+            tid: (self.submap_data[sid].global_t.copy(),
+                  self.submap_data[sid].global_q.copy())
+            for tid, sid in tail_anchor.items()}
 
         a_idx, b_idx, rel_t, rel_q, tw, rw, hub = [], [], [], [], [], [], []
         for c in self.constraints:
@@ -355,9 +428,14 @@ class PoseGraph3D:
 
         # Consecutive-node local-SLAM constraints + IMU rotation constraints
         # (optimization_problem_3d.cc odometry/local/RotationCostFunction3D),
-        # and acceleration triplets (AccelerationCostFunction3D).
+        # and acceleration triplets (AccelerationCostFunction3D). Both IMU
+        # blocks reference a per-trajectory (gravity, imu_calibration)
+        # variable block (optimization_problem_3d.cc:365-446).
         op = self._options.optimization_problem
-        acc_i, acc_j, acc_k, acc_dv, acc_dt1, acc_dt2 = [], [], [], [], [], []
+        acc_i, acc_j, acc_k, acc_dv = [], [], [], []
+        acc_dt1, acc_dt2, acc_w, acc_traj = [], [], [], []
+        rot_i, rot_j, rot_dq, rot_w, rot_traj = [], [], [], [], []
+        traj_slots: Dict[int, int] = {}
         for tid in self.nodes.trajectory_ids():
             if tid in self._frozen_trajectories:
                 continue
@@ -374,37 +452,48 @@ class PoseGraph3D:
                 tw.append(op.local_slam_pose_translation_weight)
                 rw.append(op.local_slam_pose_rotation_weight)
                 hub.append(False)
+                if op.fix_z_in_3d:
+                    continue  # no IMU blocks in fix_z mode (reference :354)
+                dt12 = max((n2.time - n1.time) * 1e-6, 1e-3)
                 imu = self._integrate_imu(tid, n1.time, n2.time)
                 if imu is not None:
-                    # Gyro-integrated relative rotation: zero translation
-                    # weight (RotationCostFunction3D).
-                    a_idx.append(node_slots[NodeId(tid, i1)])
-                    b_idx.append(node_slots[NodeId(tid, i2)])
-                    rel_t.append(np.zeros(3))
-                    rel_q.append(imu[0])
-                    tw.append(0.0)
-                    rw.append(op.rotation_weight)
-                    hub.append(False)
-            # Acceleration triplets over consecutive node triples.
+                    if tid not in traj_slots:
+                        traj_slots[tid] = len(traj_slots)
+                    # RotationCostFunction3D, scaling rotation_weight / dt.
+                    rot_i.append(node_slots[NodeId(tid, i1)])
+                    rot_j.append(node_slots[NodeId(tid, i2)])
+                    rot_dq.append(imu[0])
+                    rot_w.append(op.rotation_weight / dt12)
+                    rot_traj.append(traj_slots[tid])
+            if op.fix_z_in_3d:
+                continue
+            # Acceleration triplets over consecutive node triples: delta_v
+            # between the two interval midpoints, expressed in the IMU frame
+            # at the middle node (optimization_problem_3d.cc:398-431).
             for (i1, n1), (i2, n2), (i3, n3) in zip(items, items[1:], items[2:]):
-                imu12 = self._integrate_imu(tid, n1.time, n3.time)
-                if imu12 is None:
+                c1 = n1.time + (n2.time - n1.time) // 2
+                c2 = n2.time + (n3.time - n2.time) // 2
+                full = self._integrate_imu(tid, n1.time, n2.time)
+                to_c1 = self._integrate_imu(tid, n1.time, c1)
+                c1_to_c2 = self._integrate_imu(tid, c1, c2)
+                if full is None or to_c1 is None or c1_to_c2 is None:
                     continue
-                # delta_v between interval midpoints, integrated in frame of
-                # node 2 (approximated by the full-span integral).
-                mid = self._integrate_imu(tid, n1.time, n2.time)
-                full = self._integrate_imu(tid, n1.time, n3.time)
-                if mid is None or full is None:
-                    continue
-                dv_frame1 = full[1] - mid[1]  # velocity gained in (t1..t3)-(t1..t2)
-                # Rotate from frame of node1 to frame of node2.
-                dv = nquat.rotate(nquat.conjugate(mid[0]), dv_frame1)
+                # (delta_rot(1->2)^-1 * delta_rot(1->c1)) rotates the c1-frame
+                # delta velocity into the IMU frame at node 2.
+                q_2_to_c1 = nquat.multiply(nquat.conjugate(full[0]), to_c1[0])
+                dv = nquat.rotate(q_2_to_c1, c1_to_c2[1])
+                if tid not in traj_slots:
+                    traj_slots[tid] = len(traj_slots)
+                dt1 = max((n2.time - n1.time) * 1e-6, 1e-3)
+                dt2 = max((n3.time - n2.time) * 1e-6, 1e-3)
                 acc_i.append(node_slots[NodeId(tid, i1)])
                 acc_j.append(node_slots[NodeId(tid, i2)])
                 acc_k.append(node_slots[NodeId(tid, i3)])
                 acc_dv.append(dv)
-                acc_dt1.append(max((n2.time - n1.time) * 1e-6, 1e-3))
-                acc_dt2.append(max((n3.time - n2.time) * 1e-6, 1e-3))
+                acc_dt1.append(dt1)
+                acc_dt2.append(dt2)
+                acc_w.append(op.acceleration_weight / (dt1 + dt2))
+                acc_traj.append(traj_slots[tid])
 
         C = len(a_idx)
         cap = 1 << int(np.ceil(np.log2(max(C, 16))))
@@ -417,18 +506,48 @@ class PoseGraph3D:
         rel_q_pad = pad(rel_q, (cap, 4), np.float32)
         rel_q_pad[C:, 0] = 1.0
         A = len(acc_i)
-        acc_kwargs = {}
+        R = len(rot_i)
+        imu_kwargs = {}
+        num_traj = len(traj_slots)
+        if num_traj > 0:
+            # Per-trajectory variable blocks seeded from the persisted
+            # TrajectoryData (gravity defaults to the reference's 9.8,
+            # optimization_problem_3d.h TrajectoryData).
+            g_init = np.full((num_traj,), 9.8, np.float32)
+            c_init = np.tile(np.array([[1.0, 0, 0, 0]], np.float32),
+                             (num_traj, 1))
+            for tid, slot in traj_slots.items():
+                data = self.trajectory_data.get(tid)
+                if data is not None:
+                    g_init[slot] = data["gravity_constant"]
+                    c_init[slot] = data["imu_calibration"]
+            imu_kwargs.update(
+                gravity_init=jnp.asarray(g_init),
+                imu_calibration_init=jnp.asarray(c_init))
         if A > 0:
             acap = 1 << int(np.ceil(np.log2(max(A, 8))))
-            acc_kwargs = dict(
+            imu_kwargs.update(
                 acc_i=jnp.asarray(pad(acc_i, (acap,), np.int32)),
                 acc_j=jnp.asarray(pad(acc_j, (acap,), np.int32)),
                 acc_k=jnp.asarray(pad(acc_k, (acap,), np.int32)),
                 acc_delta_v=jnp.asarray(pad(acc_dv, (acap, 3), np.float32)),
                 acc_dt1=jnp.asarray(pad(acc_dt1, (acap,), np.float32) + 1e-3),
                 acc_dt2=jnp.asarray(pad(acc_dt2, (acap,), np.float32) + 1e-3),
-                acc_weight=jnp.full((acap,), op.acceleration_weight, jnp.float32),
-                acc_valid=jnp.asarray(np.arange(acap) < A))
+                acc_weight=jnp.asarray(pad(acc_w, (acap,), np.float32)),
+                acc_valid=jnp.asarray(np.arange(acap) < A),
+                acc_traj=jnp.asarray(pad(acc_traj, (acap,), np.int32)))
+        if R > 0:
+            rcap = 1 << int(np.ceil(np.log2(max(R, 8))))
+            rot_dq_pad = pad(rot_dq, (rcap, 4), np.float32)
+            rot_dq_pad[R:, 0] = 1.0
+            imu_kwargs.update(
+                rot_i=jnp.asarray(pad(rot_i, (rcap,), np.int32)),
+                rot_j=jnp.asarray(pad(rot_j, (rcap,), np.int32)),
+                rot_delta_q=jnp.asarray(rot_dq_pad),
+                rot_c_weight=jnp.asarray(pad(rot_w, (rcap,), np.float32)),
+                rot_valid=jnp.asarray(np.arange(rcap) < R),
+                rot_traj=jnp.asarray(pad(rot_traj, (rcap,), np.int32)))
+        self._result_lock.release()
         problem = SpaProblem3D(
             translations=jnp.asarray(np.asarray(ts, np.float32)),
             rotations=jnp.asarray(np.asarray(qs, np.float32)),
@@ -441,21 +560,53 @@ class PoseGraph3D:
             use_huber=jnp.asarray(pad(hub, (cap,), bool)),
             valid=jnp.asarray(np.arange(cap) < C),
             fixed=jnp.asarray(np.asarray(fixed, bool)),
-            **acc_kwargs)
-        t_out, q_out = solve_spa_3d(
+            **imu_kwargs)
+        t_out, q_out, g_out, calib_out = solve_spa_3d(
             problem, num_iterations=num_iterations,
-            huber_scale=self._options.optimization_problem.huber_scale,
-            fix_z=self._options.optimization_problem.fix_z_in_3d)
+            huber_scale=op.huber_scale,
+            fix_z=op.fix_z_in_3d,
+            learn_gravity=num_traj > 0,
+            learn_imu_calibration=(num_traj > 0
+                                   and op.use_online_imu_extrinsics_in_3d),
+            return_trajectory_data=True)
         t_out = np.asarray(t_out, np.float64)
         q_out = np.asarray(q_out, np.float64)
-
-        for sid, slot in submap_slots.items():
-            self.submap_data[sid].global_t = t_out[slot]
-            self.submap_data[sid].global_q = q_out[slot]
-        for nid, slot in node_slots.items():
-            self.nodes[nid].global_t = t_out[slot]
-            self.nodes[nid].global_q = q_out[slot]
-        self._num_nodes_since_last_optimization = 0
+        g_out = np.asarray(g_out, np.float64)
+        calib_out = np.asarray(calib_out, np.float64)
+        with self._result_lock:
+            for tid, slot in traj_slots.items():
+                self.trajectory_data[tid] = {
+                    "gravity_constant": float(g_out[slot]),
+                    "imu_calibration": calib_out[slot].copy(),
+                }
+            for sid, slot in submap_slots.items():
+                if sid in self.submap_data:
+                    self.submap_data[sid].global_t = t_out[slot]
+                    self.submap_data[sid].global_q = q_out[slot]
+            for nid, slot in node_slots.items():
+                if nid in self.nodes:
+                    self.nodes[nid].global_t = t_out[slot]
+                    self.nodes[nid].global_q = q_out[slot]
+            # Extrapolate entries appended while the solve ran: shift by
+            # new_anchor * old_anchor^-1 of their trajectory.
+            corrections = {}
+            for tid, sid in tail_anchor.items():
+                if sid not in self.submap_data:
+                    continue
+                e = self.submap_data[sid]
+                oin_t, oin_q = _inverse(*anchor_old[tid])
+                corrections[tid] = _compose(e.global_t, e.global_q, oin_t, oin_q)
+            for (tid, sindex), entry in self.submap_data.items():
+                if SubmapId(tid, sindex) not in submap_slots and tid in corrections:
+                    ct, cq = corrections[tid]
+                    entry.global_t, entry.global_q = _compose(
+                        ct, cq, entry.global_t, entry.global_q)
+            for (tid, nindex), node in self.nodes.items():
+                if NodeId(tid, nindex) not in node_slots and tid in corrections:
+                    ct, cq = corrections[tid]
+                    node.global_t, node.global_q = _compose(
+                        ct, cq, node.global_t, node.global_q)
+            self._num_nodes_since_last_optimization = 0
         for cb in self._global_optimization_callbacks:
             cb()
 
@@ -463,6 +614,7 @@ class PoseGraph3D:
         self._global_optimization_callbacks.append(cb)
 
     def run_final_optimization(self) -> None:
+        self.wait_for_optimization()
         self.run_optimization(self._options.max_num_final_iterations)
 
     def freeze_trajectory(self, trajectory_id: int) -> None:

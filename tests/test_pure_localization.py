@@ -87,6 +87,8 @@ def test_pure_localization_on_frozen_map():
     localizer.finish_trajectory(tid2)
 
     pg = localizer.pose_graph
+    # Drain background constraint searches (WaitForAllComputations).
+    pg.wait_for_all_computations()
     assert pg.num_inter_constraints() > 0, "robot never localized into the frozen map"
     assert pg.transitively_connected(0, 1)
     pg.run_final_optimization()
