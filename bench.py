@@ -1,11 +1,21 @@
 """Benchmark: 2D local-SLAM throughput (scans/sec) on one chip.
 
-Measures the fused per-scan pipeline (adaptive voxel filter -> real-time
-correlative search -> Gauss-Newton refine -> polar raycast insertion) in the
-multi-trajectory serving configuration: B independent trajectories advance
-one scan per device step via vmap (the map-builder-server workload — the
-reference would run B separate CPU processes). Scans vary per step; device
-dispatch is a single fused program per step.
+Primary metric: the fused per-scan pipeline (adaptive voxel filter ->
+Gauss-Newton scan matching -> polar raycast insertion) in the reference's
+DEFAULT 2D configuration (trajectory_builder_2d.lua:
+use_online_correlative_scan_matching = false), serving B independent
+trajectories per device step via vmap, STEPS steps chained inside one
+compiled lax.scan (device-resident streaming; the map-builder-server
+workload — the reference would run B separate CPU processes).
+
+Extras (same JSON line): the correlative-matcher-enabled pipeline, 2D
+loop-closure matching (pyramid + beam BnB) throughput, and the 3D frontend.
+
+Timing methodology: the TPU sits behind a network tunnel where
+jax.block_until_ready does NOT reliably synchronize, so every measurement
+fetches a scalar reduced from all outputs and reports the slope between two
+in-program iteration counts (cancels the ~27 ms RTT and dispatch overheads).
+See benchmarks/timing.py.
 
 Baseline: the reference (pure C++ Cartographer) publishes no numbers; its
 design target is real-time operation (local_trajectory_builder_2d.cc
@@ -14,7 +24,7 @@ revolving laser scanners produce ~40 Hz x 2 = ~80-100 scans/sec. We take
 100 scans/sec as the reference-parity denominator, so vs_baseline is the
 real-time multiple (target from BASELINE.md: > 10).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 """
 
 import json
@@ -24,56 +34,49 @@ import numpy as np
 
 REFERENCE_SCANS_PER_SEC = 100.0
 
+N = 1024
+GRID = 512
+B = 16
+MATCH_CAP = 512
 
-def main():
+
+def _measure(make_run, ks=(4, 16), reps=3):
+    """Seconds per iteration: slope between two in-program repeat counts."""
+    import jax
+
+    fns = {k: jax.jit(make_run(k)) for k in ks}
+    for f in fns.values():
+        float(f())  # compile + warm
+    times = {}
+    for k, f in fns.items():
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f())
+            best = min(best, time.perf_counter() - t0)
+        times[k] = best
+    return (times[ks[1]] - times[ks[0]]) / (ks[1] - ks[0])
+
+
+def bench_pipeline_2d(use_correlative: bool):
     import jax
     import jax.numpy as jnp
 
     from cartographer_tpu.ops.correlative_2d import (
-        CorrelativeSearchParams,
-        real_time_correlative_match,
-    )
+        CorrelativeSearchParams, real_time_correlative_match)
     from cartographer_tpu.ops.grid_2d import Grid2D, insert_range_data
     from cartographer_tpu.ops.scan_matcher_2d import (
-        GaussNewtonMatcherParams2D,
-        gauss_newton_match_2d,
-    )
+        GaussNewtonMatcherParams2D, gauss_newton_match_2d)
     from cartographer_tpu.sensor.point_cloud import PointCloud, RangeData
     from cartographer_tpu.sensor.voxel_filter import adaptive_voxel_filter
     from cartographer_tpu.transform.rigid import Rigid2
 
-    # Deutsches-Museum-like shapes: ~1k points/scan after merging, 5 cm grid.
-    N = 1024
-    GRID = 512
-    B = 8  # concurrent trajectories (multi-robot serving)
-    STEPS = 32
-
-    # max_scan_range bounds the static angular candidate count; the bench
-    # scans have ~9.5 m radius (the reference derives its step from the same
-    # radius).
     corr_params = CorrelativeSearchParams(max_scan_range=10.0)
     gn_params = GaussNewtonMatcherParams2D()
 
-    def one_scan(grid, scan_points, mask, pose_pred_vec, seed):
-        cloud = PointCloud(points=scan_points, mask=mask,
-                           intensities=jnp.zeros(N, jnp.float32))
-        filtered = adaptive_voxel_filter(cloud, 0.5, 200, 50.0, seed)
-        prediction = Rigid2.from_vector(pose_pred_vec)
-        _, coarse = real_time_correlative_match(
-            grid, filtered.points, filtered.mask, prediction, corr_params)
-        pose, _ = gauss_newton_match_2d(
-            grid, filtered.points, filtered.mask, coarse, gn_params,
-            target_translation=prediction.translation)
-        rd = RangeData(origin=pose.translation,
-                       returns=cloud.transform(pose),
-                       misses=PointCloud.empty(N, 2))
-        new_grid = insert_range_data(grid, rd)
-        return new_grid, pose.to_vector()
-
-    step_fn = jax.jit(jax.vmap(one_scan), donate_argnums=(0,))
-
     rng = np.random.RandomState(0)
     angles = np.linspace(-np.pi, np.pi, N, endpoint=False)
+    STEPS = 4  # scans per in-program iteration (x the measured slope count)
     scans = np.zeros((STEPS, B, N, 2), np.float32)
     for i in range(STEPS):
         for b in range(B):
@@ -86,35 +89,182 @@ def main():
     seeds = jnp.asarray(np.stack([np.asarray(jax.random.PRNGKey(i))
                                   for i in range(B)]))
 
-    def fresh_grids():
-        return jax.vmap(lambda c: Grid2D.create(GRID, 0.05, c))(jnp.zeros((B, 2)))
+    def one_scan(grid, scan_points, mask, pose_pred_vec, seed):
+        cloud = PointCloud(points=scan_points, mask=mask,
+                           intensities=jnp.zeros(N, jnp.float32))
+        filtered = adaptive_voxel_filter(cloud, 0.5, 200, 50.0, seed)
+        filtered = filtered.compact(MATCH_CAP)
+        prediction = Rigid2.from_vector(pose_pred_vec)
+        initial = prediction
+        if use_correlative:
+            _, initial = real_time_correlative_match(
+                grid, filtered.points, filtered.mask, prediction, corr_params)
+        pose, _ = gauss_newton_match_2d(
+            grid, filtered.points, filtered.mask, initial, gn_params,
+            target_translation=prediction.translation)
+        rd = RangeData(origin=pose.translation,
+                       returns=cloud.transform(pose),
+                       misses=PointCloud.empty(N, 2))
+        new_grid = insert_range_data(grid, rd)
+        return new_grid, pose.to_vector()
 
-    def run(grids):
-        poses = jnp.zeros((B, 3))
-        for i in range(STEPS):
-            grids, poses = step_fn(grids, scans[i], masks, poses, seeds)
-        return grids, poses
+    step_fn = jax.vmap(one_scan)
 
-    # Warmup / compile.
-    g, p = run(fresh_grids())
-    jax.block_until_ready((g, p))
+    def make_run(k):
+        def run():
+            grids = jax.vmap(lambda c: Grid2D.create(GRID, 0.05, c))(
+                jnp.zeros((B, 2)))
+            poses = jnp.zeros((B, 3))
 
-    times = []
-    for _ in range(3):
-        g = fresh_grids()
-        start = time.perf_counter()
-        g, p = run(g)
-        jax.block_until_ready((g, p))
-        times.append(time.perf_counter() - start)
-    best = min(times)
-    scans_per_sec = B * STEPS / best
+            def body(carry, i):
+                grids, poses = carry
+                s = scans[i % STEPS] + 1e-6 * i.astype(jnp.float32)
+                grids, poses = step_fn(grids, s, masks, poses, seeds)
+                return (grids, poses), None
+
+            (grids, poses), _ = jax.lax.scan(
+                body, (grids, poses), jnp.arange(k * STEPS))
+            return jnp.sum(poses) + jnp.sum(grids.log_odds[:, ::64, ::64])
+
+        return run
+
+    sec_per_iter = _measure(make_run)
+    return B * STEPS / sec_per_iter
+
+
+def bench_bnb_2d():
+    """Loop-closure constraint matching: pyramid build + beam BnB match."""
+    import jax
+    import jax.numpy as jnp
+
+    from cartographer_tpu.ops.bnb_2d import (
+        FastCorrelativeMatcherParams2D, build_precomputation_pyramid,
+        fast_correlative_match_2d)
+    from cartographer_tpu.ops.grid_2d import Grid2D
+    from cartographer_tpu.transform.rigid import Rigid2
+
+    params = FastCorrelativeMatcherParams2D(
+        linear_search_window=4.0, angular_search_window=np.radians(30.0),
+        branch_and_bound_depth=6, max_scan_range=12.0)
+    S = 512
+    NP = 512
+    rng = np.random.RandomState(0)
+    angles = np.linspace(-np.pi, np.pi, NP, endpoint=False)
+    radii = 8.0 + 1.5 * np.sin(3 * angles) + 0.02 * rng.randn(NP)
+    pts = jnp.asarray(np.stack(
+        [radii * np.cos(angles), radii * np.sin(angles)], -1).astype(np.float32))
+    mask = jnp.ones(NP, bool)
+    grid = Grid2D.create(S, 0.05, jnp.zeros(2))
+    prob = jnp.asarray(rng.rand(S, S).astype(np.float32))
+
+    def make_run(k):
+        def run():
+            def body(carry, i):
+                p = prob + 1e-9 * i.astype(jnp.float32)
+                pyr = build_precomputation_pyramid(
+                    p, params.branch_and_bound_depth)
+                found, score, pose = fast_correlative_match_2d(
+                    pyr, grid, pts + 1e-7 * i.astype(jnp.float32), mask,
+                    Rigid2.from_vector(jnp.zeros(3)), params, min_score=0.5)
+                return carry + score + jnp.sum(pose.to_vector()), None
+
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(k))
+            return c
+
+        return run
+
+    sec_per_iter = _measure(make_run)
+    return 1.0 / sec_per_iter
+
+
+def bench_pipeline_3d():
+    """3D frontend: two-resolution filter + SE(3) GN match + dual-grid insert."""
+    import jax
+    import jax.numpy as jnp
+
+    from cartographer_tpu.ops.grid_3d import Grid3D, insert_range_data_3d
+    from cartographer_tpu.ops.scan_matcher_3d import (
+        GaussNewtonMatcherParams3D, gauss_newton_match_3d)
+    from cartographer_tpu.sensor.point_cloud import PointCloud
+    from cartographer_tpu.sensor.voxel_filter import adaptive_voxel_filter
+    from cartographer_tpu.transform.rigid import Rigid3
+
+    B3 = 4
+    N3 = 2048
+    S3 = 128
+    gn_params = GaussNewtonMatcherParams3D()
+    rng = np.random.RandomState(0)
+    pts = rng.randn(B3, N3, 3).astype(np.float32) * 3.0
+    pts = jnp.asarray(pts)
+    masks = jnp.ones((B3, N3), bool)
+    seeds = jnp.asarray(np.stack([np.asarray(jax.random.PRNGKey(i))
+                                  for i in range(B3)]))
+
+    def one_scan(high_grid, low_grid, points, mask, pose_t, seed):
+        cloud = PointCloud(points=points, mask=mask,
+                           intensities=jnp.zeros(N3, jnp.float32))
+        high = adaptive_voxel_filter(cloud, 2.0, 150, 15.0, seed).compact(256)
+        low = adaptive_voxel_filter(cloud, 4.0, 200, 60.0, seed).compact(512)
+        pose = Rigid3(pose_t, jnp.array([1.0, 0, 0, 0]))
+        refined, cost = gauss_newton_match_3d(
+            high_grid, low_grid, high.points, high.mask, low.points, low.mask,
+            pose, gn_params)
+        world = refined.apply(cloud.points)
+        hg = insert_range_data_3d(high_grid, refined.translation, world,
+                                  cloud.mask)
+        lg = insert_range_data_3d(low_grid, refined.translation, world,
+                                  cloud.mask)
+        return hg, lg, refined.translation
+
+    step_fn = jax.vmap(one_scan)
+
+    def make_run(k):
+        def run():
+            hg = jax.vmap(lambda c: Grid3D.create(S3, 0.1, c))(jnp.zeros((B3, 3)))
+            lg = jax.vmap(lambda c: Grid3D.create(S3 // 2, 0.45, c))(
+                jnp.zeros((B3, 3)))
+            ts = jnp.zeros((B3, 3))
+
+            def body(carry, i):
+                hg, lg, ts = carry
+                p = pts + 1e-6 * i.astype(jnp.float32)
+                hg, lg, ts = step_fn(hg, lg, p, masks, ts, seeds)
+                return (hg, lg, ts), None
+
+            (hg, lg, ts), _ = jax.lax.scan(body, (hg, lg, ts), jnp.arange(k))
+            return jnp.sum(ts) + jnp.sum(hg.log_odds[:, ::16, ::16, ::16])
+
+        return run
+
+    sec_per_iter = _measure(make_run, ks=(2, 8))
+    return B3 / sec_per_iter
+
+
+def main():
+    primary = bench_pipeline_2d(use_correlative=False)
+    extras = {}
+    try:
+        extras["local_slam_2d_with_online_correlative_scans_per_sec"] = round(
+            bench_pipeline_2d(use_correlative=True), 2)
+    except Exception as e:  # noqa: BLE001
+        extras["local_slam_2d_with_online_correlative_scans_per_sec"] = str(e)
+    try:
+        extras["loop_closure_bnb_matches_per_sec"] = round(bench_bnb_2d(), 2)
+    except Exception as e:  # noqa: BLE001
+        extras["loop_closure_bnb_matches_per_sec"] = str(e)
+    try:
+        extras["local_slam_3d_scans_per_sec"] = round(bench_pipeline_3d(), 2)
+    except Exception as e:  # noqa: BLE001
+        extras["local_slam_3d_scans_per_sec"] = str(e)
 
     print(json.dumps({
         "metric": "local_slam_2d_scans_per_sec",
-        "value": round(scans_per_sec, 2),
-        "unit": ("scans/sec aggregate (8 concurrent trajectories, 1024-pt "
-                 "scans, 512x512 5cm grids, 1 chip)"),
-        "vs_baseline": round(scans_per_sec / REFERENCE_SCANS_PER_SEC, 2),
+        "value": round(primary, 2),
+        "unit": (f"scans/sec aggregate ({B} concurrent trajectories, 1024-pt "
+                 "scans, 512x512 5cm grids, reference-default 2D config, "
+                 "1 chip, value-fetch-synced slope timing)"),
+        "vs_baseline": round(primary / REFERENCE_SCANS_PER_SEC, 2),
+        "extras": extras,
     }))
 
 

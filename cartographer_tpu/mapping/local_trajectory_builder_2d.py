@@ -107,9 +107,15 @@ class LocalTrajectoryBuilder2D:
 
         use_tsdf = options.submaps.grid_type == "TSDF"
 
+        matcher_capacity = options.tpu.matcher_capacity
+
         def match(grid, returns: PointCloud, pose_prediction_vec, seed):
             filtered = adaptive_voxel_filter(
                 returns, avf.max_length, avf.min_num_points, avf.max_range, seed)
+            # Shrink the static capacity before the per-capacity matmul
+            # kernels (the filter keeps ~min_num_points of the padded cloud).
+            if matcher_capacity and matcher_capacity < returns.capacity:
+                filtered = filtered.compact(matcher_capacity)
             prediction = Rigid2.from_vector(pose_prediction_vec)
             initial = prediction
             if use_correlative:

@@ -120,7 +120,8 @@ def _scores_mxu(grid, prob, base_cells, mask, nl, chunk):
         Q = jax.vmap(lambda c, v: onehot_rows(c, v, s))(cy, inb)
         # bf16 count image (exact for small per-cell counts) halves the HBM
         # traffic of the dominant U read/write — the hot path is
-        # bandwidth-bound, not FLOP-bound.
+        # bandwidth-bound, not FLOP-bound. (int8 operands profile ~100x
+        # slower here: XLA's TPU int8 einsum lowering falls off the MXU.)
         U = jnp.einsum("cns,cnr->csr", P, Q,
                        preferred_element_type=jnp.bfloat16)  # (C, S, S)
         raw = jnp.dot(U.reshape(U.shape[0], s * s), shifted_bf16.T,

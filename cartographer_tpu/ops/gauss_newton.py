@@ -29,7 +29,7 @@ def lm_solve(
     lambda_up: float = 4.0,
     lambda_down: float = 0.5,
     min_diagonal: float = 1e-6,
-    function_tolerance: float = 1e-7,
+    function_tolerance: float = 1e-6,  # Ceres Solver::Options default
 ):
     """Minimize 0.5 * ||residual_fn(x)||^2 with LM.
 

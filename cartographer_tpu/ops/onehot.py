@@ -122,12 +122,17 @@ def _banded_weight_matrix(i0: jnp.ndarray, weights, size: int) -> jnp.ndarray:
     return out
 
 
-def interp_bicubic_mm(grid: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+def interp_bicubic_mm(grid: jnp.ndarray, coords: jnp.ndarray,
+                      dtype=jnp.float32) -> jnp.ndarray:
     """Bicubic interpolation via banded matmuls; same semantics as
     ops.interp.interp_bicubic (values at cell centers, border-clamped),
     differentiable, MXU-executed.
 
     coords: (N, 2) continuous cell coordinates.
+    dtype: operand dtype of the row matmul. bfloat16 quantizes the grid
+      probabilities (and banded weights) to ~0.4% — fine for scan-matching
+      residuals, ~4x faster on the v5e MXU than float32 — while the weight
+      *positions* and the final accumulation stay exact/f32.
     """
     s0, s1 = grid.shape
     p = coords - 0.5
@@ -142,7 +147,8 @@ def interp_bicubic_mm(grid: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     j0 = jnp.clip(j0f, -s1 - 4, 2 * s1 + 4).astype(jnp.int32)
     WX = _banded_weight_matrix(i0, _catmull_rom_weights(fx), s0)  # (N, S0)
     WY = _banded_weight_matrix(j0, _catmull_rom_weights(fy), s1)  # (N, S1)
-    left = jnp.dot(WX, grid, preferred_element_type=jnp.float32)  # (N, S1)
+    left = jnp.dot(WX.astype(dtype), grid.astype(dtype),
+                   preferred_element_type=jnp.float32)  # (N, S1)
     return jnp.sum(left * WY, axis=-1)
 
 

@@ -58,7 +58,7 @@ def occupied_space_residuals(
     coords = grid.world_to_cell_continuous(world)
     if method == "mxu":
         from cartographer_tpu.ops.onehot import interp_bicubic_mm
-        p = interp_bicubic_mm(grid_prob, coords)
+        p = interp_bicubic_mm(grid_prob, coords, dtype=jnp.bfloat16)
     else:
         p = interp_bicubic(grid_prob, coords)
     n = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)

@@ -89,6 +89,26 @@ class PointCloud:
         dropped (callers size capacity >= the filter's target point count).
         """
         order = jnp.argsort(~self.mask, stable=True)[:capacity]
+        if jax.default_backend() == "tpu":
+            # Gather-free compaction: the row gather points[order] is
+            # memory-latency bound on TPU; a thin one-hot matmul
+            # (capacity x N) @ (N x D) does the same permutation on the MXU.
+            from cartographer_tpu.ops.onehot import onehot_rows
+
+            sel = onehot_rows(order, jnp.ones_like(order, bool),
+                              self.capacity, dtype=jnp.float32)
+            gathered = jnp.dot(
+                sel, jnp.concatenate(
+                    [self.points, self.mask[:, None].astype(jnp.float32),
+                     self.intensities[:, None]], axis=-1),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            d = self.points.shape[-1]
+            return PointCloud(
+                points=gathered[:, :d],
+                mask=gathered[:, d] > 0.5,
+                intensities=gathered[:, d + 1],
+            )
         return PointCloud(
             points=self.points[order],
             mask=self.mask[order],

@@ -123,4 +123,6 @@ class TestResidualMXU:
             prob, grid, pc.points, pc.mask, pose_vec, 1.0, method="gather"))
         b = np.asarray(occupied_space_residuals(
             prob, grid, pc.points, pc.mask, pose_vec, 1.0, method="mxu"))
-        np.testing.assert_allclose(a, b, atol=2e-5)
+        # The mxu method quantizes the interpolation operands to bf16
+        # (~0.4% of the probability per point, scaled by 1/sqrt(n)).
+        np.testing.assert_allclose(a, b, atol=1e-3)
