@@ -62,6 +62,8 @@ class MapBuilderServer:
             futures.ThreadPoolExecutor(max_workers=options.num_grpc_threads))
         self._grpc_server.add_generic_rpc_handlers([self._make_handlers()])
         self.port = self._grpc_server.add_insecure_port(options.server_address)
+        self._monitoring_server = None
+        self.monitoring_port = None
 
     # ------------------------------------------------------------ lifecycle
 
@@ -69,6 +71,7 @@ class MapBuilderServer:
         if self._uploader is not None:
             self._uploader.start()
         self._start_slam_thread()
+        self._start_monitoring_server()
         self._grpc_server.start()
 
     def shutdown(self) -> None:
@@ -78,7 +81,48 @@ class MapBuilderServer:
             self._slam_thread.join(timeout=10)
         if self._uploader is not None:
             self._uploader.shutdown()
+        if self._monitoring_server is not None:
+            self._monitoring_server.shutdown()
         self._grpc_server.stop(grace=1).wait()
+
+    def _start_monitoring_server(self) -> None:
+        """Prometheus pull endpoint (map_builder_server_main.cc:42-47 /
+        cloud/metrics/prometheus/family_factory.cc): serves the global
+        metrics registry's text exposition at /metrics. Requires a
+        RegistryFamilyFactory to be installed via metrics.set_global_factory
+        (the default null factory exposes nothing)."""
+        port = self._options.monitoring_port
+        if port is None or port < 0:
+            return
+        from cartographer_tpu import metrics as m
+        if not isinstance(m.GLOBAL_FACTORY, m.RegistryFamilyFactory):
+            return
+        import http.server
+
+        registry = m.GLOBAL_FACTORY
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802
+                if self.path != "/metrics":
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                body = registry.collect_prometheus().encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args):
+                pass
+
+        self._monitoring_server = http.server.ThreadingHTTPServer(
+            ("0.0.0.0", port), Handler)
+        self.monitoring_port = self._monitoring_server.server_address[1]
+        threading.Thread(target=self._monitoring_server.serve_forever,
+                         daemon=True, name="monitoring").start()
 
     def wait_for_shutdown(self) -> None:
         self._grpc_server.wait_for_termination()

@@ -72,6 +72,25 @@ class ConstraintBuilder2D:
         self._grids: Dict[SubmapId, Grid2D] = {}
         self._pending: List[Constraint] = []
         self.score_histogram = Histogram()
+        # RegisterMetrics (constraint_builder_2d.cc:318-343).
+        from cartographer_tpu import metrics as m
+        factory = m.GLOBAL_FACTORY
+        found = factory.new_counter_family(
+            "mapping_constraints_constraint_builder_2d_constraints",
+            "Constraints computed")
+        self._metric_found = found.add({"search_region": "local_search",
+                                        "matcher": "searched"})
+        self._metric_found_global = found.add({"search_region": "global_search",
+                                               "matcher": "searched"})
+        queue = factory.new_gauge_family(
+            "mapping_constraints_constraint_builder_2d_queue_length",
+            "Queue length")
+        self._metric_queue = queue.add({})
+        scores = factory.new_histogram_family(
+            "mapping_constraints_constraint_builder_2d_scores",
+            "Constraint scores built", [0.05 * i for i in range(1, 20)])
+        self._metric_scores = scores.add({"search_region": "local_search"})
+        self._metric_scores_global = scores.add({"search_region": "global_search"})
         import threading
         # Guards the sampler/pyramid-cache state when constraint searches run
         # on background threads (PoseGraph2D async mode).
@@ -159,8 +178,14 @@ class ConstraintBuilder2D:
 
         score = float(score)
         self.score_histogram.add(score)
+        if match_full_submap:
+            self._metric_scores_global.observe(score)
+        else:
+            self._metric_scores.observe(score)
         if score < min_score:
             return None
+        (self._metric_found_global if match_full_submap
+         else self._metric_found).increment()
         return Constraint(
             submap_id=submap_id,
             node_id=node_id,

@@ -72,6 +72,7 @@ class LocalTrajectoryBuilder3D:
         self._range_data_collator = RangeDataCollator(expected_range_sensor_ids)
         self._seed_counter = 0
         self._last_imu_accel: Optional[np.ndarray] = None
+        self._register_metrics()
 
         gn = options.ceres_scan_matcher
         gn_params = GaussNewtonMatcherParams3D(
@@ -144,6 +145,33 @@ class LocalTrajectoryBuilder3D:
                 options.rotational_histogram_size))
 
     # ------------------------------------------------------------------ sensors
+
+    def _register_metrics(self) -> None:
+        """RegisterMetrics (local_trajectory_builder_3d.cc:935-948): latency,
+        real-time ratio, and per-stage time fractions."""
+        from cartographer_tpu import metrics as m
+        factory = m.GLOBAL_FACTORY
+        self._metric_latency = factory.new_gauge_family(
+            "mapping_3d_local_trajectory_builder_latency",
+            "Duration from first incoming point to last processed point [s]"
+        ).add({})
+        self._metric_real_time_ratio = factory.new_gauge_family(
+            "mapping_3d_local_trajectory_builder_real_time_ratio",
+            "sensor time per wall time, multiplied by 100").add({})
+        self._metric_scans = factory.new_counter_family(
+            "mapping_3d_local_trajectory_builder_scans",
+            "Number of processed scans").add({})
+        fractions = factory.new_gauge_family(
+            "mapping_3d_local_trajectory_builder_fraction",
+            "Fraction of total scan-processing wall time per stage")
+        self._metric_frac_filter = fractions.add({"stage": "voxel_filter"})
+        self._metric_frac_match = fractions.add({"stage": "scan_matcher"})
+        self._metric_frac_insert = fractions.add({"stage": "insert"})
+        self._metric_cost = factory.new_histogram_family(
+            "mapping_3d_scan_matcher_final_cost", "Scan matcher final cost",
+            m.exponential_boundaries(0.01, 2.0, 12)).add({})
+        self._last_wall_time = None
+        self._last_sensor_time = None
 
     def add_imu_data(self, imu_data: ImuData) -> None:
         if self._extrapolator is None:
@@ -223,6 +251,8 @@ class LocalTrajectoryBuilder3D:
         origins = np.zeros((capacity, 3), np.float32)
         origins[:npts] = data.per_point_origins(3)[:npts]
 
+        import time as _time
+        stage_t0 = _time.monotonic()
         cloud, high, low = self._preprocess_fn(
             jnp.asarray(points), jnp.asarray(t01), jnp.asarray(mask),
             jnp.asarray(origins),
@@ -231,6 +261,7 @@ class LocalTrajectoryBuilder3D:
             Rigid3(jnp.asarray(pose_end[0], jnp.float32),
                    jnp.asarray(pose_end[1], jnp.float32)),
             self._next_seed())
+        stage_t1 = _time.monotonic()
 
         grids = self._active_submaps.matching_grids
         if grids is None:
@@ -244,6 +275,8 @@ class LocalTrajectoryBuilder3D:
             est_q = nquat.normalize(np.asarray(out_q, np.float64))
             if not np.all(np.isfinite(est_t)):
                 return None
+            self._metric_cost.observe(float(cost))
+        stage_t2 = _time.monotonic()
 
         self._extrapolator.add_pose(data.time, est_t, est_q)
 
@@ -269,6 +302,20 @@ class LocalTrajectoryBuilder3D:
                 insertion_submaps=list(self._active_submaps.submaps),
                 finished_submaps=finished,
             )
+        stage_t3 = _time.monotonic()
+        total = max(stage_t3 - stage_t0, 1e-9)
+        self._metric_frac_filter.set((stage_t1 - stage_t0) / total)
+        self._metric_frac_match.set((stage_t2 - stage_t1) / total)
+        self._metric_frac_insert.set((stage_t3 - stage_t2) / total)
+        self._metric_scans.increment()
+        self._metric_latency.set(float(t1 - time_first) * 1e-6)
+        if self._last_wall_time is not None and stage_t3 > self._last_wall_time:
+            sensor_dt = (data.time - self._last_sensor_time) * 1e-6
+            self._metric_real_time_ratio.set(
+                100.0 * sensor_dt / (stage_t3 - self._last_wall_time))
+        self._last_wall_time = stage_t3
+        self._last_sensor_time = data.time
+
         return MatchingResult3D(
             time=data.time,
             local_pose_translation=np.asarray(est_t),

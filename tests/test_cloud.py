@@ -210,6 +210,8 @@ class TestTwoTier:
                 time.sleep(0.3)
             trajs = sorted({t for (t, _), _ in pg2.nodes.items()})
             assert len(trajs) == 2, f"tier-2 saw trajectories {trajs}"
+            # Drain background constraint searches (WaitForAllComputations).
+            pg2.wait_for_all_computations()
             assert pg2.num_inter_constraints() > 0, "no cross-robot constraint found"
             assert pg2.transitively_connected(trajs[0], trajs[1])
 
@@ -345,3 +347,54 @@ class TestExtendedRpcs:
             stub.close()
         finally:
             server.shutdown()
+
+
+class TestMonitoringEndpoint:
+    def test_prometheus_pull_endpoint(self):
+        """Scraping /metrics during serving returns the registered metric
+        families (cloud/metrics/prometheus/family_factory.cc + the pull
+        server of map_builder_server_main.cc:42-47)."""
+        import urllib.request
+
+        from cartographer_tpu import metrics as m
+
+        old_factory = m.GLOBAL_FACTORY
+        m.set_global_factory(m.RegistryFamilyFactory())
+        try:
+            server = make_server()
+            server.start()
+            try:
+                assert server.monitoring_port
+                stub = MapBuilderStub(f"localhost:{server.port}",
+                                      client_id="mon-client")
+                tid = stub.add_trajectory_builder(["laser"])
+                drive_scans(stub, tid, num=6)
+                stub.finish_trajectory(tid)
+                deadline = time.time() + 30
+                text = ""
+                while time.time() < deadline:
+                    with urllib.request.urlopen(
+                            f"http://localhost:{server.monitoring_port}/metrics",
+                            timeout=5) as resp:
+                        text = resp.read().decode()
+                    if "mapping_2d_local_trajectory_builder_scans" in text:
+                        break
+                    time.sleep(0.5)
+                # The families the reference registers for the 2D pipeline.
+                assert "# TYPE mapping_2d_local_trajectory_builder_scans counter" in text
+                assert "mapping_2d_local_trajectory_builder_real_time_ratio" in text
+                assert "mapping_constraints_constraint_builder_2d_scores" in text
+                assert "mapping_2d_pose_graph_constraints" in text
+                # 404 for anything else.
+                import urllib.error
+                try:
+                    urllib.request.urlopen(
+                        f"http://localhost:{server.monitoring_port}/other",
+                        timeout=5)
+                    assert False, "expected 404"
+                except urllib.error.HTTPError as e:
+                    assert e.code == 404
+            finally:
+                server.shutdown()
+        finally:
+            m.set_global_factory(old_factory)
