@@ -94,6 +94,8 @@ def bench_pipeline_2d(use_correlative: bool):
                            intensities=jnp.zeros(N, jnp.float32))
         filtered = adaptive_voxel_filter(cloud, 0.5, 200, 50.0, seed)
         filtered = filtered.compact(MATCH_CAP)
+        # Loop-closure node cloud (production computes it per scan).
+        lc = adaptive_voxel_filter(cloud, 0.9, 100, 50.0, seed).compact(256)
         prediction = Rigid2.from_vector(pose_pred_vec)
         initial = prediction
         if use_correlative:
@@ -106,7 +108,7 @@ def bench_pipeline_2d(use_correlative: bool):
                        returns=cloud.transform(pose),
                        misses=PointCloud.empty(N, 2))
         new_grid = insert_range_data(grid, rd)
-        return new_grid, pose.to_vector()
+        return new_grid, pose.to_vector() + 1e-20 * jnp.sum(lc.points)
 
     step_fn = jax.vmap(one_scan)
 

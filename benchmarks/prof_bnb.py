@@ -21,7 +21,7 @@ from cartographer_tpu.ops.grid_2d import Grid2D
 from cartographer_tpu.transform.rigid import Rigid2
 
 S = 512
-N = 512
+N = 256
 params = FastCorrelativeMatcherParams2D(
     linear_search_window=4.0, angular_search_window=np.radians(30.0),
     branch_and_bound_depth=6, max_scan_range=12.0)
@@ -55,3 +55,16 @@ timeit_scanned("pyramid build (depth 6)", build,
                lambda c, a: (a[0] + c * 1e-9,), prob)
 timeit_scanned("bnb match (beam 4096)", match,
                lambda c, a: (a[0] + c * 1e-9, a[1] + c * 1e-7), pyramid, pts)
+
+import dataclasses
+for beam in (1024, 256):
+    params2 = dataclasses.replace(params, beam_width=beam)
+
+    def match_b(pyr, points, params2=params2):
+        found, score, pose = fast_correlative_match_2d(
+            pyr, grid, points, mask, Rigid2.from_vector(jnp.zeros(3)), params2,
+            min_score=0.5)
+        return score, pose.to_vector()
+
+    timeit_scanned(f"bnb match (beam {beam})", match_b,
+                   lambda c, a: (a[0] + c * 1e-9, a[1] + c * 1e-7), pyramid, pts)

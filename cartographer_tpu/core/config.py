@@ -44,6 +44,10 @@ class TpuOptions2D:
     # points before matching. Must exceed the adaptive filter's worst-case
     # survivor count (~2x min_num_points at the 10% bisection tolerance).
     matcher_capacity: int = 512
+    # Static capacity of the loop-closure node cloud (the coarser
+    # loop_closure_adaptive_voxel_filter targets ~100 points); sizes the
+    # per-candidate gather cost of the BnB matcher.
+    loop_closure_capacity: int = 256
 
 
 @dataclasses.dataclass(frozen=True)

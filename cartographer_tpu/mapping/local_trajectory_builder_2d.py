@@ -108,6 +108,8 @@ class LocalTrajectoryBuilder2D:
         use_tsdf = options.submaps.grid_type == "TSDF"
 
         matcher_capacity = options.tpu.matcher_capacity
+        lc = options.loop_closure_adaptive_voxel_filter
+        lc_capacity = options.tpu.loop_closure_capacity
 
         def match(grid, returns: PointCloud, pose_prediction_vec, seed):
             filtered = adaptive_voxel_filter(
@@ -116,6 +118,14 @@ class LocalTrajectoryBuilder2D:
             # kernels (the filter keeps ~min_num_points of the padded cloud).
             if matcher_capacity and matcher_capacity < returns.capacity:
                 filtered = filtered.compact(matcher_capacity)
+            # The node cloud kept for loop closure is a SEPARATE, coarser
+            # filter (local_trajectory_builder_2d.cc AddAccumulatedRangeData:
+            # loop_closure_adaptive_voxel_filter over the aligned returns) —
+            # ~100 points, which also sizes the BnB gather cost.
+            lc_cloud = adaptive_voxel_filter(
+                returns, lc.max_length, lc.min_num_points, lc.max_range, seed)
+            if lc_capacity and lc_capacity < returns.capacity:
+                lc_cloud = lc_cloud.compact(lc_capacity)
             prediction = Rigid2.from_vector(pose_prediction_vec)
             initial = prediction
             if use_correlative:
@@ -132,7 +142,7 @@ class LocalTrajectoryBuilder2D:
                 pose, cost = gauss_newton_match_2d(
                     grid, filtered.points, filtered.mask, initial, gn_params,
                     target_translation=prediction.translation)
-            return pose.to_vector(), cost, filtered
+            return pose.to_vector(), cost, lc_cloud
 
         self._match_fn = jax.jit(match)
         self._transform_rd_fn = jax.jit(

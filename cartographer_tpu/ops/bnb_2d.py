@@ -76,8 +76,10 @@ def _score_candidates(level: jnp.ndarray, base_cells: jnp.ndarray,
     cx = base_cells[a_idx, :, 0] + ox[:, None]  # (B, N)
     cy = base_cells[a_idx, :, 1] + oy[:, None]
     in_bounds = (cx >= 0) & (cx < size) & (cy >= 0) & (cy < size)
-    p = jnp.where(in_bounds,
-                  level[jnp.clip(cx, 0, size - 1), jnp.clip(cy, 0, size - 1)],
+    # 1-D linear-index gather from the flattened level: lowers to a far
+    # faster TPU gather than the 2-D (cx, cy) form.
+    lin = (jnp.clip(cx, 0, size - 1) * size + jnp.clip(cy, 0, size - 1))
+    p = jnp.where(in_bounds, level.reshape(-1)[lin.reshape(-1)].reshape(lin.shape),
                   UNKNOWN_PROBABILITY)
     num = jnp.maximum(jnp.sum(mask), 1)
     return jnp.sum(jnp.where(mask[None, :], p, 0.0), axis=-1) / num
