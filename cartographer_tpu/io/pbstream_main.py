@@ -17,18 +17,37 @@ from cartographer_tpu.io.serialization import SERIALIZATION_FORMAT_VERSION, _mig
 
 def info(path: str, verbose: bool = False) -> int:
     reader = ProtoStreamReader(path)
+    records = list(reader)
+    reader.close()
     counts = {}
     version = None
-    for record in reader:
-        try:
-            msg = msgpack.unpackb(record, raw=False)
-            kind = msg.get("type", "unknown")
-            if kind == "header":
-                version = msg.get("format_version")
-        except Exception:
-            kind = "opaque"
-        counts[kind] = counts.get(kind, 0) + 1
-    reader.close()
+
+    from cartographer_tpu.io.carto_pbstream import is_carto_stream
+
+    if records and is_carto_stream(records[0]):
+        # A reference-schema pbstream (pbstream_info.cc counts SerializedData
+        # cases the same way).
+        from cartographer_tpu.io import carto_protos as cp
+        from cartographer_tpu.io.proto_wire import decode_message
+
+        version = decode_message(cp.SERIALIZATION_HEADER,
+                                 records[0]).get("format_version")
+        print("schema: cartographer proto")
+        for r in records[1:]:
+            msg = decode_message(cp.SERIALIZED_DATA, r)
+            kind = next(iter(msg), "unknown")
+            counts[kind] = counts.get(kind, 0) + 1
+    else:
+        print("schema: cartographer_tpu native")
+        for record in records:
+            try:
+                msg = msgpack.unpackb(record, raw=False)
+                kind = msg.get("type", "unknown")
+                if kind == "header":
+                    version = msg.get("format_version")
+            except Exception:
+                kind = "opaque"
+            counts[kind] = counts.get(kind, 0) + 1
     print(f"format_version: {version}")
     for kind in sorted(counts):
         print(f"{kind}: {counts[kind]}")

@@ -345,8 +345,14 @@ class MapBuilder:
     # ------------------------------------------------------------- state io
 
     def serialize_state(self, writer_or_path,
-                        include_unfinished_submaps: bool = True) -> None:
-        """MapBuilder::SerializeState (map_builder.cc:213-225)."""
+                        include_unfinished_submaps: bool = True,
+                        format: str = "native") -> None:
+        """MapBuilder::SerializeState (map_builder.cc:213-225).
+
+        format "native" writes this package's compact msgpack payloads;
+        "carto" writes the reference's proto schema so the C++ reference
+        (and its tools) can read the stream (io/carto_pbstream.py).
+        """
         from cartographer_tpu.io.pbstream import ProtoStreamWriter
         from cartographer_tpu.io.serialization import serialize_state
 
@@ -357,7 +363,11 @@ class MapBuilder:
             self.pose_graph.wait_for_all_computations()
         writer = (writer_or_path if isinstance(writer_or_path, ProtoStreamWriter)
                   else ProtoStreamWriter(writer_or_path))
-        serialize_state(self.pose_graph, writer, include_unfinished_submaps)
+        if format == "carto":
+            from cartographer_tpu.io.carto_pbstream import write_carto_state
+            write_carto_state(self.pose_graph, writer, include_unfinished_submaps)
+        else:
+            serialize_state(self.pose_graph, writer, include_unfinished_submaps)
         writer.close()
 
     def load_state(self, reader_or_path, load_frozen_state: bool = True) -> Dict[int, int]:
@@ -368,7 +378,18 @@ class MapBuilder:
 
         reader = (reader_or_path if isinstance(reader_or_path, ProtoStreamReader)
                   else ProtoStreamReader(reader_or_path))
-        remapping = load_state(reader, self.pose_graph, frozen=load_frozen_state)
+        records = list(reader)
+        from cartographer_tpu.io.carto_pbstream import (
+            is_carto_stream,
+            load_carto_state,
+        )
+        if records and is_carto_stream(records[0]):
+            # A reference-produced pbstream (proto payloads).
+            remapping = load_carto_state(records, self.pose_graph,
+                                         frozen=load_frozen_state)
+        else:
+            remapping = load_state(records, self.pose_graph,
+                                   frozen=load_frozen_state)
         for new_id in set(remapping.values()):
             self._frozen.append(new_id)
         reader.close()

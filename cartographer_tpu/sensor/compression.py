@@ -108,3 +108,58 @@ def decompress_cloud(d: dict) -> np.ndarray:
     """Inverse of compress_cloud, restoring input order and dimensionality."""
     pts = CompressedPointCloud.from_dict(d).decompress_in_input_order()
     return pts[:, : d.get("dim", 3)]
+
+
+# --- Reference-exact proto stream codec (compressed_point_cloud.cc) ---------
+
+_CARTO_BITS = 10  # kBitsPerCoordinate
+_CARTO_MASK = (1 << _CARTO_BITS) - 1
+
+
+def to_carto_point_data(points: np.ndarray) -> np.ndarray:
+    """Encode (n, 3) points as the reference's CompressedPointCloud
+    point_data int32 stream (compressed_point_cloud.cc:109-146): per block
+    [count, bx, by, bz] then count words (z << 20) + (y << 10) + x of
+    block-relative offsets at 1 mm precision. Point order becomes
+    block-grouped (the reference iterator also loses input order)."""
+    points = np.asarray(points, np.float64)
+    if len(points) == 0:
+        return np.zeros(0, np.int32)
+    raster = np.round(points / PRECISION).astype(np.int64)
+    block = raster >> _CARTO_BITS  # arithmetic shift = floor for negatives
+    off = (raster & _CARTO_MASK).astype(np.int64)
+    order = np.lexsort((block[:, 2], block[:, 1], block[:, 0]))
+    bs = block[order]
+    offs = off[order]
+    new_block = np.concatenate(
+        [[True], np.any(np.diff(bs, axis=0) != 0, axis=1)])
+    starts = np.nonzero(new_block)[0]
+    counts = np.diff(np.concatenate([starts, [len(bs)]]))
+    words = (offs[:, 2] << (2 * _CARTO_BITS)) + (offs[:, 1] << _CARTO_BITS) \
+        + offs[:, 0]
+    out = []
+    for s, c in zip(starts, counts):
+        out.extend([int(c), int(bs[s, 0]), int(bs[s, 1]), int(bs[s, 2])])
+        out.extend(int(w) for w in words[s:s + c])
+    return np.asarray(out, np.int32)
+
+
+def from_carto_point_data(num_points: int, point_data) -> np.ndarray:
+    """Decode the reference point_data stream to (num_points, 3) float64."""
+    data = np.asarray(point_data, np.int64)
+    pts = np.zeros((num_points, 3), np.float64)
+    i = 0
+    k = 0
+    while k < num_points and i < len(data):
+        count = int(data[i])
+        bx, by, bz = (int(data[i + 1]) << _CARTO_BITS,
+                      int(data[i + 2]) << _CARTO_BITS,
+                      int(data[i + 3]) << _CARTO_BITS)
+        i += 4
+        words = data[i:i + count]
+        i += count
+        pts[k:k + count, 0] = (bx + (words & _CARTO_MASK)) * PRECISION
+        pts[k:k + count, 1] = (by + ((words >> _CARTO_BITS) & _CARTO_MASK)) * PRECISION
+        pts[k:k + count, 2] = (bz + (words >> (2 * _CARTO_BITS))) * PRECISION
+        k += count
+    return pts[:k]
