@@ -1,0 +1,267 @@
+"""Paged (sparse) 3D occupancy grid — the HybridGrid replacement at range.
+
+Reference: mapping/3d/hybrid_grid.h:40-52 — an unbounded 3-level sparse
+voxel structure (DynamicGrid<NestedGrid<FlatGrid>>). Pointer-chasing trees
+don't map to XLA's static shapes, so the TPU design is a *page pool*:
+
+  - a fixed pool of P dense pages of B^3 voxels (static shapes; XLA-native),
+  - a dense int32 page table over an extent of `blocks`^3 page slots
+    (64^3 blocks x 32-voxel pages at 10 cm = a 204.8 m cube of addressable
+    space for 1 MB of table),
+  - host-assisted allocation: scans touch a handful of blocks; the host
+    assigns pool slots for new blocks (a dict lookup per block, off the hot
+    path) and the device scatters hits/misses into the pool,
+  - matching stays on the existing dense kernels via `crop_dense`: one
+    device gather assembles the pages overlapping a query window into a
+    dense Grid3D (matching is local — the window is the scan extent).
+
+Memory: pool P=512 x 32^3 f32 = 67 MB addresses the same space a dense
+2048^3 grid (34 GB) would — the sparse 3-level semantics at static shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cartographer_tpu.ops.probability import (
+    clamp_log_odds,
+    log_odds_to_probability,
+    probability_to_log_odds,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PagedGrid3D:
+    """Page-pool voxel grid. Block (bx, by, bz) covers world cells
+    [b * B, (b+1) * B); page_table holds the pool slot or -1."""
+
+    pages: jnp.ndarray  # (P, B, B, B) f32 log-odds
+    known: jnp.ndarray  # (P, B, B, B) bool
+    page_table: jnp.ndarray  # (NB, NB, NB) int32, -1 = unallocated
+    origin: jnp.ndarray  # (3,) world position of cell (0,0,0) corner
+    resolution: float = dataclasses.field(metadata=dict(static=True))
+    page_size: int = dataclasses.field(metadata=dict(static=True))
+
+    @staticmethod
+    def create(resolution: float, center, page_size: int = 32,
+               max_pages: int = 512, num_blocks: int = 64) -> "PagedGrid3D":
+        extent = num_blocks * page_size * resolution
+        origin = jnp.asarray(center, jnp.float32) - 0.5 * extent
+        return PagedGrid3D(
+            pages=jnp.zeros((max_pages, page_size, page_size, page_size),
+                            jnp.float32),
+            known=jnp.zeros((max_pages, page_size, page_size, page_size),
+                            bool),
+            page_table=jnp.full((num_blocks,) * 3, -1, jnp.int32),
+            origin=origin, resolution=resolution, page_size=page_size)
+
+    @property
+    def max_pages(self) -> int:
+        return self.pages.shape[0]
+
+    @property
+    def num_blocks(self) -> int:
+        return self.page_table.shape[0]
+
+    def world_to_cell(self, points: jnp.ndarray) -> jnp.ndarray:
+        # Note: points exactly on a cell boundary may voxelize differently
+        # between compilation variants of this expression (divide vs
+        # reciprocal-multiply rounding) — same caveat as the reference's
+        # float-derived cell indices. Real sensor data is almost never
+        # boundary-exact.
+        return jnp.floor((points - self.origin) / self.resolution).astype(
+            jnp.int32)
+
+    def probability_at(self, points: jnp.ndarray,
+                       unknown: float = 0.5) -> jnp.ndarray:
+        """Per-point cell probability (unknown cells -> `unknown`)."""
+        B = self.page_size
+        cells = self.world_to_cell(points)
+        nb = self.num_blocks
+        block = jnp.clip(cells // B, 0, nb - 1)
+        off = cells - block * B  # in [0, B) when in bounds
+        inb = jnp.all((cells >= 0) & (cells < nb * B), axis=-1)
+        page = self.page_table[block[..., 0], block[..., 1], block[..., 2]]
+        page_ok = (page >= 0) & inb
+        p0 = jnp.maximum(page, 0)
+        lo = self.pages[p0, off[..., 0], off[..., 1], off[..., 2]]
+        kn = self.known[p0, off[..., 0], off[..., 1], off[..., 2]]
+        return jnp.where(page_ok & kn, log_odds_to_probability(lo), unknown)
+
+
+class PagedSubmapGrid3D:
+    """Host wrapper owning the allocation state of one PagedGrid3D.
+
+    The device pytree is immutable/functional; block allocation (dict of
+    block key -> pool slot) is sequential host work, exactly the part the
+    reference does with its DynamicGrid pointer array."""
+
+    def __init__(self, resolution: float, center, page_size: int = 32,
+                 max_pages: int = 512, num_blocks: int = 64):
+        self.grid = PagedGrid3D.create(resolution, center, page_size,
+                                       max_pages, num_blocks)
+        self._slots: Dict[Tuple[int, int, int], int] = {}
+
+    @property
+    def num_allocated(self) -> int:
+        return len(self._slots)
+
+    def _allocate(self, block_keys: np.ndarray) -> bool:
+        """Assign pool slots to new blocks; returns True if the table
+        changed. Raises if the pool is exhausted."""
+        new = [tuple(k) for k in block_keys if tuple(k) not in self._slots]
+        if not new:
+            return False
+        if len(self._slots) + len(new) > self.grid.max_pages:
+            raise MemoryError(
+                f"page pool exhausted ({self.grid.max_pages} pages)")
+        table = np.asarray(self.grid.page_table).copy()
+        for key in new:
+            slot = len(self._slots)
+            self._slots[key] = slot
+            table[key] = slot
+        self.grid = dataclasses.replace(
+            self.grid, page_table=jnp.asarray(table))
+        return True
+
+    def insert_range_data(self, origin, returns, mask,
+                          hit_probability: float = 0.55,
+                          miss_probability: float = 0.49,
+                          num_free_space_voxels: int = 2) -> None:
+        """RangeDataInserter3D::Insert against the page pool.
+
+        Host: derive the touched block set (hits + the trailing free-space
+        samples, all within num_free_space_voxels cells of a hit) and
+        allocate slots. Device: scatter the updates into the pool.
+        """
+        B = self.grid.page_size
+        nb = self.grid.num_blocks
+        res = self.grid.resolution
+        pts = np.asarray(returns)
+        m = np.asarray(mask)
+        o = np.asarray(self.grid.origin)
+        cells = np.floor((pts[m] - o) / res).astype(np.int64)
+        ocell = np.floor((np.asarray(origin) - o) / res).astype(np.int64)
+        # Free-space samples stay within num_free_space_voxels cells of the
+        # hit along the ray; their blocks are covered by dilating the hit
+        # block set by one block when a hit sits near a block edge.
+        f = num_free_space_voxels
+        lo = cells - f
+        hi = cells + f
+        keys = set()
+        for c in (lo, hi, cells):
+            inb = np.all((c >= 0) & (c < nb * B), axis=-1)
+            keys.update(map(tuple, np.unique(c[inb] // B, axis=0)))
+        if keys:
+            self._allocate(np.asarray(sorted(keys), np.int64))
+        self.grid = _insert_paged(
+            self.grid, jnp.asarray(np.asarray(origin, np.float32)),
+            jnp.asarray(pts.astype(np.float32)), jnp.asarray(m),
+            hit_probability, miss_probability, num_free_space_voxels)
+
+    def crop_dense(self, center, size: int):
+        """Assemble the pages overlapping a size^3 window into a dense
+        Grid3D (for the dense scan-matching kernels)."""
+        return crop_dense(self.grid, jnp.asarray(center, jnp.float32), size)
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("num_free_space_voxels",))
+def _insert_paged(grid: PagedGrid3D, origin, returns, mask,
+                  hit_probability, miss_probability,
+                  num_free_space_voxels: int) -> PagedGrid3D:
+    B = grid.page_size
+    nb = grid.num_blocks
+
+    def pool_index(cells, valid):
+        """(N, 3) world cells -> flat pool index, or OOB sentinel."""
+        inb = valid & jnp.all((cells >= 0) & (cells < nb * B), axis=-1)
+        block = jnp.clip(cells // B, 0, nb - 1)
+        off = jnp.clip(cells - block * B, 0, B - 1)
+        page = grid.page_table[block[..., 0], block[..., 1], block[..., 2]]
+        ok = inb & (page >= 0)
+        lin = ((jnp.maximum(page, 0) * B + off[..., 0]) * B
+               + off[..., 1]) * B + off[..., 2]
+        flat = grid.max_pages * B**3
+        return jnp.where(ok, lin, flat)
+
+    flat = grid.max_pages * B**3
+    hit_cells = grid.world_to_cell(returns)
+    hit_lin = pool_index(hit_cells, mask)
+    hit_mask = jnp.zeros(flat + 1, bool).at[hit_lin].set(True)[:flat]
+
+    if num_free_space_voxels > 0:
+        origin_cell = grid.world_to_cell(origin)
+        delta = hit_cells - origin_cell[None, :]
+        num_samples = jnp.max(jnp.abs(delta), axis=-1)
+        ks = jnp.arange(1, num_free_space_voxels + 1)
+        positions = jnp.maximum(num_samples[:, None] - ks[None, :], 0)
+        miss_cells = origin_cell[None, None, :] + (
+            delta[:, None, :] * positions[:, :, None]
+        ) // jnp.maximum(num_samples[:, None, None], 1)
+        miss_valid = jnp.broadcast_to(
+            (mask & (num_samples > 0))[:, None], positions.shape)
+        miss_lin = pool_index(miss_cells.reshape(-1, 3),
+                              miss_valid.reshape(-1))
+        miss_mask = jnp.zeros(flat + 1, bool).at[miss_lin].set(True)[:flat]
+        miss_mask = miss_mask & ~hit_mask
+    else:
+        miss_mask = jnp.zeros(flat, bool)
+
+    hit_lo = probability_to_log_odds(jnp.float32(hit_probability))
+    miss_lo = probability_to_log_odds(jnp.float32(miss_probability))
+    shape = grid.pages.shape
+    log_odds = clamp_log_odds(
+        grid.pages.reshape(-1)
+        + jnp.where(hit_mask, hit_lo, 0.0)
+        + jnp.where(miss_mask, miss_lo, 0.0)).reshape(shape)
+    known = grid.known | (hit_mask | miss_mask).reshape(shape)
+    return dataclasses.replace(grid, pages=log_odds, known=known)
+
+
+@partial(jax.jit, static_argnames=("size",))
+def crop_dense(grid: PagedGrid3D, center: jnp.ndarray, size: int):
+    """Dense (size^3) Grid3D of the window centered at `center`, assembled
+    by gathering whole pages (one take over the pool; block-aligned)."""
+    from cartographer_tpu.ops.grid_3d import Grid3D
+
+    B = grid.page_size
+    nb = grid.num_blocks
+    nblk = size // B + 2  # block-aligned cover of any size^3 window
+    center_cell = grid.world_to_cell(center)
+    window_start = center_cell - size // 2  # first cell of the crop
+    start_block = jnp.floor_divide(window_start, B)
+    bidx = start_block[None, :] + jnp.stack(
+        jnp.meshgrid(jnp.arange(nblk), jnp.arange(nblk), jnp.arange(nblk),
+                     indexing="ij"), -1).reshape(-1, 3)
+    okb = jnp.all((bidx >= 0) & (bidx < nb), axis=-1)
+    bclip = jnp.clip(bidx, 0, nb - 1)
+    page = grid.page_table[bclip[:, 0], bclip[:, 1], bclip[:, 2]]
+    ok = okb & (page >= 0)
+    gathered = jnp.where(
+        ok[:, None, None, None],
+        grid.pages[jnp.maximum(page, 0)], 0.0)  # (nblk^3, B, B, B)
+    gathered_known = jnp.where(
+        ok[:, None, None, None], grid.known[jnp.maximum(page, 0)], False)
+
+    def assemble(blocks):
+        a = blocks.reshape(nblk, nblk, nblk, B, B, B)
+        return a.transpose(0, 3, 1, 4, 2, 5).reshape(nblk * B, nblk * B,
+                                                     nblk * B)
+
+    off = window_start - start_block * B  # in [0, B)
+    dense = jax.lax.dynamic_slice(assemble(gathered), off,
+                                  (size, size, size))
+    dense_known = jax.lax.dynamic_slice(assemble(gathered_known), off,
+                                        (size, size, size))
+    origin = grid.origin + window_start.astype(jnp.float32) * grid.resolution
+    return Grid3D(log_odds=dense, known=dense_known, origin=origin,
+                  resolution=grid.resolution)

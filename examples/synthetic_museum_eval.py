@@ -104,7 +104,9 @@ def loop_trajectory(num_scans):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--scans", type=int, default=240)
+    # ~6 cm inter-scan motion; fewer scans stretch the same 42 m loop into
+    # steps the frontend cannot track (>=500 needed for loop closure).
+    parser.add_argument("--scans", type=int, default=700)
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
     if args.cpu:
