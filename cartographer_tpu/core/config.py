@@ -85,7 +85,12 @@ class CeresScanMatcherOptions2D:
     occupied_space_weight: float = 1.0
     translation_weight: float = 10.0
     rotation_weight: float = 40.0
+    # ceres_solver_options surface (common/internal/ceres_solver_options.cc):
+    # max_num_iterations + use_nonmonotonic_steps are consumed by the LM
+    # solver; num_threads is accepted by the Lua importer but ignored — the
+    # TPU build batches candidate work instead of threading a solver.
     max_num_iterations: int = 20
+    use_nonmonotonic_steps: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -200,7 +205,9 @@ class CeresScanMatcherOptions3D:
     translation_weight: float = 5.0
     rotation_weight: float = 4e2
     only_optimize_yaw: bool = False
+    # ceres_solver_options surface (see CeresScanMatcherOptions2D).
     max_num_iterations: int = 12
+    use_nonmonotonic_steps: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -289,7 +296,8 @@ class ConstraintBuilderOptions:
         FastCorrelativeScanMatcherOptions2D)
     ceres_scan_matcher: CeresScanMatcherOptions2D = _d(
         lambda: CeresScanMatcherOptions2D(occupied_space_weight=20.0, translation_weight=10.0,
-                                          rotation_weight=1.0, max_num_iterations=10))
+                                          rotation_weight=1.0, max_num_iterations=10,
+                                          use_nonmonotonic_steps=True))  # pose_graph.lua:35
     fast_correlative_scan_matcher_3d: FastCorrelativeScanMatcherOptions3D = _d(
         FastCorrelativeScanMatcherOptions3D)
     ceres_scan_matcher_3d: CeresScanMatcherOptions3D = _d(

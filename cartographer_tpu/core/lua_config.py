@@ -237,10 +237,16 @@ def trajectory_builder_2d_from_lua(d: Dict[str, Any]) -> cfg.TrajectoryBuilder2D
         csm = d["ceres_scan_matcher"]
         new = _fill(opts.ceres_scan_matcher, csm, skip=("ceres_solver_options",))
         if "ceres_solver_options" in csm:
+            cso = csm["ceres_solver_options"]
+            # num_threads intentionally ignored: the TPU build batches work
+            # on-device instead of threading the solver.
             new = dataclasses.replace(
-                new, max_num_iterations=int(
-                    csm["ceres_solver_options"].get("max_num_iterations",
-                                                    new.max_num_iterations)))
+                new,
+                max_num_iterations=int(
+                    cso.get("max_num_iterations", new.max_num_iterations)),
+                use_nonmonotonic_steps=bool(
+                    cso.get("use_nonmonotonic_steps",
+                            new.use_nonmonotonic_steps)))
         opts = dataclasses.replace(opts, ceres_scan_matcher=new)
     if "pose_extrapolator" in d:
         opts = dataclasses.replace(opts, pose_extrapolator=_pose_extrapolator_from_lua(
@@ -283,10 +289,14 @@ def trajectory_builder_3d_from_lua(d: Dict[str, Any]) -> cfg.TrajectoryBuilder3D
                     new.intensity_cost_function_options_0,
                     csm["intensity_cost_function_options_0"]))
         if "ceres_solver_options" in csm:
+            cso = csm["ceres_solver_options"]
             new = dataclasses.replace(
-                new, max_num_iterations=int(
-                    csm["ceres_solver_options"].get("max_num_iterations",
-                                                    new.max_num_iterations)))
+                new,
+                max_num_iterations=int(
+                    cso.get("max_num_iterations", new.max_num_iterations)),
+                use_nonmonotonic_steps=bool(
+                    cso.get("use_nonmonotonic_steps",
+                            new.use_nonmonotonic_steps)))
         opts = dataclasses.replace(opts, ceres_scan_matcher=new)
     if "pose_extrapolator" in d:
         opts = dataclasses.replace(opts, pose_extrapolator=_pose_extrapolator_from_lua(
@@ -325,10 +335,15 @@ def pose_graph_from_lua(d: Dict[str, Any]) -> cfg.PoseGraphOptions:
                 new_matcher = _fill(getattr(new_cb, attr), csm,
                                     skip=("ceres_solver_options",))
                 if "ceres_solver_options" in csm:
+                    cso = csm["ceres_solver_options"]
                     new_matcher = dataclasses.replace(
-                        new_matcher, max_num_iterations=int(
-                            csm["ceres_solver_options"].get(
-                                "max_num_iterations", new_matcher.max_num_iterations)))
+                        new_matcher,
+                        max_num_iterations=int(cso.get(
+                            "max_num_iterations",
+                            new_matcher.max_num_iterations)),
+                        use_nonmonotonic_steps=bool(cso.get(
+                            "use_nonmonotonic_steps",
+                            new_matcher.use_nonmonotonic_steps)))
                 new_cb = dataclasses.replace(new_cb, **{attr: new_matcher})
         opts = dataclasses.replace(opts, constraint_builder=new_cb)
     if "optimization_problem" in d:

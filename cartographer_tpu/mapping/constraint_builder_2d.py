@@ -66,7 +66,8 @@ class ConstraintBuilder2D:
             occupied_space_weight=gn.occupied_space_weight,
             translation_weight=gn.translation_weight,
             rotation_weight=gn.rotation_weight,
-            num_iterations=gn.max_num_iterations)
+            num_iterations=gn.max_num_iterations,
+            use_nonmonotonic_steps=gn.use_nonmonotonic_steps)
         self._samplers: Dict[SubmapId, FixedRatioSampler] = {}
         self._pyramids: Dict[SubmapId, jnp.ndarray] = {}
         self._grids: Dict[SubmapId, Grid2D] = {}

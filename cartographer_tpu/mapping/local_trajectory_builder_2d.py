@@ -17,7 +17,7 @@ extrapolator's constant-velocity model, and removes the per-point host loop.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 from typing import List, Optional
 
 import jax
@@ -48,6 +48,58 @@ from cartographer_tpu.sensor.point_cloud import PointCloud, RangeData
 from cartographer_tpu.sensor.voxel_filter import adaptive_voxel_filter
 from cartographer_tpu.transform import nquat
 from cartographer_tpu.transform.rigid import Rigid2, Rigid3
+
+
+@lru_cache(maxsize=None)
+def _preprocess_fn_cached(pre_params: ScanPreprocessParams2D):
+    return jax.jit(partial(preprocess_scan_2d, params=pre_params))
+
+
+@lru_cache(maxsize=None)
+def _match_fn_cached(avf, corr_params, gn_params, use_correlative, use_tsdf,
+                     matcher_capacity, lc, lc_capacity):
+    """Jitted match program, shared across ALL trajectory builders with the
+    same (hashable) options — a new trajectory on a serving MapBuilderServer
+    must not recompile the hot path."""
+
+    def match(grid, returns: PointCloud, pose_prediction_vec, seed):
+        filtered = adaptive_voxel_filter(
+            returns, avf.max_length, avf.min_num_points, avf.max_range, seed)
+        # Shrink the static capacity before the per-capacity matmul
+        # kernels (the filter keeps ~min_num_points of the padded cloud).
+        if matcher_capacity and matcher_capacity < returns.capacity:
+            filtered = filtered.compact(matcher_capacity)
+        # The node cloud kept for loop closure is a SEPARATE, coarser
+        # filter (local_trajectory_builder_2d.cc AddAccumulatedRangeData:
+        # loop_closure_adaptive_voxel_filter over the aligned returns) —
+        # ~100 points, which also sizes the BnB gather cost.
+        lc_cloud = adaptive_voxel_filter(
+            returns, lc.max_length, lc.min_num_points, lc.max_range, seed)
+        if lc_capacity and lc_capacity < returns.capacity:
+            lc_cloud = lc_cloud.compact(lc_capacity)
+        prediction = Rigid2.from_vector(pose_prediction_vec)
+        initial = prediction
+        if use_correlative:
+            # The correlative matcher scores either grid type through its
+            # probability()/correspondence_score surface.
+            _, initial = real_time_correlative_match(
+                grid, filtered.points, filtered.mask, prediction, corr_params)
+        if use_tsdf:
+            from cartographer_tpu.ops.tsdf_2d import gauss_newton_match_tsdf
+            pose, cost = gauss_newton_match_tsdf(
+                grid, filtered.points, filtered.mask, initial, gn_params,
+                target_translation=prediction.translation)
+        else:
+            pose, cost = gauss_newton_match_2d(
+                grid, filtered.points, filtered.mask, initial, gn_params,
+                target_translation=prediction.translation)
+        return pose.to_vector(), cost, lc_cloud
+
+    return jax.jit(match)
+
+
+_TRANSFORM_RD_FN = jax.jit(
+    lambda rd, pose_vec: rd.transform(Rigid2.from_vector(pose_vec)))
 
 
 @dataclasses.dataclass
@@ -87,7 +139,7 @@ class LocalTrajectoryBuilder2D:
             min_z=options.min_z, max_z=options.max_z,
             missing_data_ray_length=options.missing_data_ray_length,
             voxel_filter_size=options.voxel_filter_size)
-        self._preprocess_fn = jax.jit(partial(preprocess_scan_2d, params=pre_params))
+        self._preprocess_fn = _preprocess_fn_cached(pre_params)
 
         avf = options.adaptive_voxel_filter
         corr = options.real_time_correlative_scan_matcher
@@ -102,51 +154,18 @@ class LocalTrajectoryBuilder2D:
             occupied_space_weight=gn.occupied_space_weight,
             translation_weight=gn.translation_weight,
             rotation_weight=gn.rotation_weight,
-            num_iterations=gn.max_num_iterations)
+            num_iterations=gn.max_num_iterations,
+            use_nonmonotonic_steps=gn.use_nonmonotonic_steps)
         use_correlative = options.use_online_correlative_scan_matching
 
         use_tsdf = options.submaps.grid_type == "TSDF"
 
-        matcher_capacity = options.tpu.matcher_capacity
-        lc = options.loop_closure_adaptive_voxel_filter
-        lc_capacity = options.tpu.loop_closure_capacity
-
-        def match(grid, returns: PointCloud, pose_prediction_vec, seed):
-            filtered = adaptive_voxel_filter(
-                returns, avf.max_length, avf.min_num_points, avf.max_range, seed)
-            # Shrink the static capacity before the per-capacity matmul
-            # kernels (the filter keeps ~min_num_points of the padded cloud).
-            if matcher_capacity and matcher_capacity < returns.capacity:
-                filtered = filtered.compact(matcher_capacity)
-            # The node cloud kept for loop closure is a SEPARATE, coarser
-            # filter (local_trajectory_builder_2d.cc AddAccumulatedRangeData:
-            # loop_closure_adaptive_voxel_filter over the aligned returns) —
-            # ~100 points, which also sizes the BnB gather cost.
-            lc_cloud = adaptive_voxel_filter(
-                returns, lc.max_length, lc.min_num_points, lc.max_range, seed)
-            if lc_capacity and lc_capacity < returns.capacity:
-                lc_cloud = lc_cloud.compact(lc_capacity)
-            prediction = Rigid2.from_vector(pose_prediction_vec)
-            initial = prediction
-            if use_correlative:
-                # The correlative matcher scores either grid type through its
-                # probability()/correspondence_score surface.
-                _, initial = real_time_correlative_match(
-                    grid, filtered.points, filtered.mask, prediction, corr_params)
-            if use_tsdf:
-                from cartographer_tpu.ops.tsdf_2d import gauss_newton_match_tsdf
-                pose, cost = gauss_newton_match_tsdf(
-                    grid, filtered.points, filtered.mask, initial, gn_params,
-                    target_translation=prediction.translation)
-            else:
-                pose, cost = gauss_newton_match_2d(
-                    grid, filtered.points, filtered.mask, initial, gn_params,
-                    target_translation=prediction.translation)
-            return pose.to_vector(), cost, lc_cloud
-
-        self._match_fn = jax.jit(match)
-        self._transform_rd_fn = jax.jit(
-            lambda rd, pose_vec: rd.transform(Rigid2.from_vector(pose_vec)))
+        self._match_fn = _match_fn_cached(
+            avf, corr_params, gn_params, use_correlative, use_tsdf,
+            options.tpu.matcher_capacity,
+            options.loop_closure_adaptive_voxel_filter,
+            options.tpu.loop_closure_capacity)
+        self._transform_rd_fn = _TRANSFORM_RD_FN
 
         # Metrics (RegisterMetrics, local_trajectory_builder_2d.cc:334-368).
         from cartographer_tpu import metrics as m

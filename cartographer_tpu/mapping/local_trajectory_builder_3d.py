@@ -83,7 +83,8 @@ class LocalTrajectoryBuilder3D:
             translation_weight=gn.translation_weight,
             rotation_weight=gn.rotation_weight,
             only_optimize_yaw=gn.only_optimize_yaw,
-            num_iterations=gn.max_num_iterations)
+            num_iterations=gn.max_num_iterations,
+            use_nonmonotonic_steps=gn.use_nonmonotonic_steps)
         rt = options.real_time_correlative_scan_matcher
         corr_params = CorrelativeSearchParams3D(
             linear_search_window=rt.linear_search_window,

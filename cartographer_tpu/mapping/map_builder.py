@@ -229,6 +229,16 @@ class MapBuilder:
         else:
             self.pose_graph = PoseGraph2D(options.pose_graph,
                                           num_background_threads=threads)
+            ot = options.pose_graph.overlapping_submaps_trimmer_2d
+            if ot is not None:
+                # map_builder.cc wires the trimmer from pose graph options.
+                from cartographer_tpu.mapping.trimmers import (
+                    OverlappingSubmapsTrimmer2D,
+                )
+                self.pose_graph.add_trimmer(OverlappingSubmapsTrimmer2D(
+                    fresh_submaps_count=ot.fresh_submaps_count,
+                    min_covered_area=ot.min_covered_area,
+                    min_added_submaps_count=ot.min_added_submaps_count))
         self._collator = (TrajectoryCollator() if options.collate_by_trajectory
                           else Collator())
         self._builders: Dict[int, GlobalTrajectoryBuilder] = {}

@@ -44,12 +44,18 @@ class PureLocalizationTrimmer(PoseGraphTrimmer):
 
 
 class OverlappingSubmapsTrimmer2D(PoseGraphTrimmer):
-    """Trim finished submaps whose known area is covered by
-    `fresh_submaps_count` fresher submaps (overlapping_submaps_trimmer_2d.cc).
+    """overlapping_submaps_trimmer_2d.cc, full semantics:
 
-    Coverage is evaluated on a coarse world grid: a submap is prunable when
-    at least (1 - epsilon) of its known cells are also covered by fresher
-    submaps and the remaining exclusive area is below min_covered_area m^2.
+    1. Per-submap freshness = timestamp of the latest INTRA-constraint node
+       (ComputeSubmapFreshness).
+    2. Every known cell of every finished submap is transformed to the
+       global frame at submap resolution and added to a coverage map
+       (AddSubmapsToSubmapCoverageGrid2D).
+    3. Per coverage cell, only the `fresh_submaps_count` freshest submaps
+       score a covered cell (FindSubmapIdsToTrim).
+    4. Submaps with fewer than min_covered_area / resolution^2 covered
+       cells are trimmed.
+    Runs only after `min_added_submaps_count` new submaps since last trim.
     """
 
     def __init__(self, fresh_submaps_count: int, min_covered_area: float,
@@ -57,30 +63,76 @@ class OverlappingSubmapsTrimmer2D(PoseGraphTrimmer):
         self._fresh = fresh_submaps_count
         self._min_area = min_covered_area
         self._min_added = min_added_submaps_count
-        self._num_processed = 0
+        self._current_submap_count = 0
 
-    def trim(self, trimmable) -> None:
-        all_ids = trimmable.get_all_submap_ids()
-        if len(all_ids) < self._min_added + self._fresh:
+    def trim(self, pose_graph) -> None:
+        num_submaps = len(pose_graph.submap_data)
+        if num_submaps - self._current_submap_count <= self._min_added:
             return
-        cell_size = 0.5  # coarse coverage raster (meters)
-        coverage = {}
-        # Newest submaps claim cells first.
-        for order, sid in enumerate(reversed(all_ids)):
-            cells = trimmable.get_submap_coverage_cells(sid, cell_size)
-            for c in cells:
-                coverage.setdefault(c, []).append(order)
-        to_trim: List[SubmapId] = []
-        for order, sid in enumerate(reversed(all_ids)):
-            if order < self._fresh:
-                continue  # always keep the freshest
-            cells = trimmable.get_submap_coverage_cells(sid, cell_size)
-            if not cells:
+        self._current_submap_count = num_submaps
+
+        # 1. Freshness: latest intra-constraint node time per submap.
+        latest_node: dict = {}
+        for c in pose_graph.constraints:
+            if c.tag != "INTRA_SUBMAP":
                 continue
-            exclusive = sum(
-                1 for c in cells
-                if sum(1 for o in coverage.get(c, []) if o < order) < self._fresh)
-            if exclusive * cell_size * cell_size < self._min_area:
-                to_trim.append(sid)
-        for sid in to_trim:
-            trimmable.trim_submap(sid)
+            nid = (c.node_id.trajectory_id, c.node_id.node_index)
+            cur = latest_node.get(c.submap_id)
+            if cur is None or nid > cur:
+                latest_node[c.submap_id] = nid
+        freshness = {}
+        from cartographer_tpu.mapping.id import NodeId
+        for sid, (nt, ni) in latest_node.items():
+            node_id = NodeId(nt, ni)
+            if sid in pose_graph.submap_data and node_id in pose_graph.nodes:
+                freshness[sid] = pose_graph.nodes[node_id].time
+
+        # 2. Coverage map at submap resolution, in the global frame.
+        coverage: dict = {}
+        all_ids: Set[SubmapId] = set()
+        resolution = None
+        for (t, i), entry in pose_graph.submap_data.items():
+            sid = SubmapId(t, i)
+            if sid not in freshness or not entry.finished:
+                continue
+            submap = entry.submap
+            if submap.grid is None:
+                continue
+            grid = submap.grid
+            resolution = grid.resolution
+            known = np.asarray(grid.known)
+            ii, jj = np.nonzero(known)
+            if len(ii) == 0:
+                continue
+            all_ids.add(sid)
+            centers = (np.stack([ii, jj], -1) + 0.5) * grid.resolution \
+                + np.asarray(grid.origin)
+            # local -> global: global_pose * local_submap_pose^-1 * center.
+            from cartographer_tpu.transform import nquat
+            lp = submap.local_pose_translation
+            yaw_l = nquat.get_yaw(submap.local_pose_rotation)
+            g = entry.global_pose_2d
+            # rel = R(-yaw_l) (center - lp)
+            c_, s_ = np.cos(-yaw_l), np.sin(-yaw_l)
+            rel = (centers - lp[:2]) @ np.array([[c_, s_], [-s_, c_]],
+                                                np.float64).T
+            cg, sg = np.cos(g[2]), np.sin(g[2])
+            world = rel @ np.array([[cg, sg], [-sg, cg]], np.float64) \
+                + g[:2]
+            cell_ids = np.round(world / grid.resolution).astype(np.int64)
+            time = freshness[sid]
+            for key in map(tuple, np.unique(cell_ids, axis=0)):
+                coverage.setdefault(key, []).append((time, sid))
+
+        if resolution is None:
+            return
+        # 3/4. Count cells won by each submap among the freshest `fresh`.
+        covered_count: dict = {}
+        for entries in coverage.values():
+            entries.sort(key=lambda e: e[0], reverse=True)
+            for _, sid in entries[: self._fresh]:
+                covered_count[sid] = covered_count.get(sid, 0) + 1
+        min_cells = int(self._min_area / resolution**2)
+        keep = {sid for sid, n in covered_count.items() if n >= min_cells}
+        for sid in sorted(all_ids - keep):
+            pose_graph.trim_submap(sid)

@@ -30,6 +30,7 @@ def lm_solve(
     lambda_down: float = 0.5,
     min_diagonal: float = 1e-6,
     function_tolerance: float = 1e-6,  # Ceres Solver::Options default
+    nonmonotonic: bool = False,
 ):
     """Minimize 0.5 * ||residual_fn(x)||^2 with LM.
 
@@ -44,6 +45,9 @@ def lm_solve(
         function_tolerance); the while_loop exits early on convergence, which
         typically halves the work vs fixed iterations. Pass None/0 for a
         fixed-count scan.
+      nonmonotonic: Ceres use_nonmonotonic_steps — accept finite uphill
+        steps (escaping shallow ridges) while tracking and returning the
+        best parameters seen.
 
     Returns:
       (x, final_cost, summary) where summary has the initial cost and the
@@ -65,7 +69,7 @@ def lm_solve(
 
     zero = jnp.zeros((tangent_dim,), jnp.float32)
 
-    def step(x, lam, current_cost):
+    def step(x, lam, current_cost, best_x, best_cost):
         r = residual_fn(x)
         J = jax.jacfwd(local_residual)(zero, x)  # (R, P)
         H = J.T @ J
@@ -74,42 +78,55 @@ def lm_solve(
         delta = -jnp.linalg.solve(damped, g)
         x_new = retract_fn(x, delta)
         new_cost = cost(x_new)
-        accept = (new_cost < current_cost) & jnp.all(jnp.isfinite(delta))
+        finite = jnp.all(jnp.isfinite(delta)) & jnp.isfinite(new_cost)
+        improved = (new_cost < current_cost) & finite
+        # Nonmonotonic (Ceres use_nonmonotonic_steps): the iterate may take
+        # finite uphill steps; the best iterate is tracked separately.
+        accept = finite if nonmonotonic else improved
         x = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, b, a), x, x_new)
-        lam = jnp.where(accept, lam * lambda_down, lam * lambda_up)
+        lam = jnp.where(improved, lam * lambda_down, lam * lambda_up)
         improvement = jnp.where(
-            accept, (current_cost - new_cost) / jnp.maximum(current_cost, 1e-30), 1.0)
+            improved, (current_cost - new_cost) / jnp.maximum(current_cost, 1e-30), 1.0)
         current_cost = jnp.where(accept, new_cost, current_cost)
-        return x, lam, current_cost, accept, improvement
+        is_best = finite & (new_cost < best_cost)
+        best_x = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(is_best, b, a), best_x, x_new)
+        best_cost = jnp.where(is_best, new_cost, best_cost)
+        return x, lam, current_cost, best_x, best_cost, accept, improvement
 
     c0 = cost(x0)
     if not function_tolerance:
         def scan_step(carry, _):
-            x, lam, current = carry
-            x, lam, current, accept, _ = step(x, lam, current)
-            return (x, lam, current), accept
+            x, lam, current, bx, bc = carry
+            x, lam, current, bx, bc, accept, _ = step(x, lam, current, bx, bc)
+            return (x, lam, current, bx, bc), accept
 
-        (x, _, final_cost), accepts = jax.lax.scan(
-            scan_step, (x0, jnp.float32(init_lambda), c0), None,
+        (x, _, final_cost, best_x, best_cost), accepts = jax.lax.scan(
+            scan_step, (x0, jnp.float32(init_lambda), c0, x0, c0), None,
             length=num_iterations)
         num_accepted = jnp.sum(accepts.astype(jnp.int32))
     else:
         def cond(carry):
-            _, _, _, it, converged, _ = carry
+            _, _, _, _, _, it, converged, _ = carry
             return (it < num_iterations) & ~converged
 
         def body(carry):
-            x, lam, current, it, _, accepted = carry
-            x, lam, current, accept, improvement = step(x, lam, current)
-            converged = accept & (improvement < function_tolerance)
-            return (x, lam, current, it + 1, converged,
+            x, lam, current, bx, bc, it, _, accepted = carry
+            x, lam, current, bx, bc, accept, improvement = step(
+                x, lam, current, bx, bc)
+            converged = accept & (improvement < function_tolerance) \
+                & (improvement >= 0)
+            return (x, lam, current, bx, bc, it + 1, converged,
                     accepted + accept.astype(jnp.int32))
 
-        x, _, final_cost, _, _, num_accepted = jax.lax.while_loop(
-            cond, body,
-            (x0, jnp.float32(init_lambda), c0, jnp.int32(0),
-             jnp.bool_(False), jnp.int32(0)))
+        x, _, final_cost, best_x, best_cost, _, _, num_accepted = \
+            jax.lax.while_loop(
+                cond, body,
+                (x0, jnp.float32(init_lambda), c0, x0, c0, jnp.int32(0),
+                 jnp.bool_(False), jnp.int32(0)))
+    if nonmonotonic:
+        x, final_cost = best_x, best_cost
     summary = {
         "initial_cost": c0,
         "final_cost": final_cost,

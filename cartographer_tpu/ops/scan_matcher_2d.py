@@ -32,6 +32,7 @@ class GaussNewtonMatcherParams2D:
     translation_weight: float = 10.0
     rotation_weight: float = 40.0
     num_iterations: int = 20  # ceres_solver_options.max_num_iterations
+    use_nonmonotonic_steps: bool = False  # ceres_solver_options
 
 
 def occupied_space_residuals(
@@ -99,5 +100,6 @@ def gauss_newton_match_2d(
 
     x0 = initial_pose.to_vector()
     x, final_cost, _ = lm_solve(
-        residual_fn, x0, num_iterations=params.num_iterations)
+        residual_fn, x0, num_iterations=params.num_iterations,
+        nonmonotonic=params.use_nonmonotonic_steps)
     return Rigid2.from_vector(x), final_cost

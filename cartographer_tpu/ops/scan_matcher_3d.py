@@ -39,6 +39,7 @@ class GaussNewtonMatcherParams3D:
     rotation_weight: float = 4e2
     only_optimize_yaw: bool = False
     num_iterations: int = 12
+    use_nonmonotonic_steps: bool = False  # ceres_solver_options
 
 
 def se3_retract(pose: Rigid3, delta: jnp.ndarray) -> Rigid3:
@@ -120,7 +121,8 @@ def gauss_newton_match_3d(
 
     pose, final_cost, _ = lm_solve(
         residual_fn, initial_pose, retract_fn=retract, tangent_dim=tangent_dim,
-        num_iterations=params.num_iterations)
+        num_iterations=params.num_iterations,
+        nonmonotonic=params.use_nonmonotonic_steps)
     return pose, final_cost
 
 
