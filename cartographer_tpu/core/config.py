@@ -55,9 +55,19 @@ class TpuOptions3D:
     scan_capacity: int = 4096
     filtered_capacity_high: int = 512
     filtered_capacity_low: int = 1024
-    high_grid_size: int = 256  # dense high-res grid extent (cells/side)
+    # Dense CROP window (cells/side) gathered from the paged grids for the
+    # dense matching kernels; with paged grids this no longer bounds the
+    # submap's addressable extent (hybrid_grid.h:40-52 is unbounded).
+    high_grid_size: int = 256
     low_grid_size: int = 192
     ray_samples: int = 256
+    # Paged (sparse) submap grids — the HybridGrid equivalent
+    # (ops/paged_grid_3d.py): page pool + page table; the addressable
+    # extent is num_blocks * page_size * resolution per side
+    # (defaults: 128 * 16 * 0.1 m = 204.8 m for the high-res grid).
+    page_size: int = 16
+    max_pages: int = 2048
+    num_blocks: int = 128
 
 
 # ---------------------------------------------------------------------------
@@ -384,6 +394,9 @@ class MapBuilderOptions:
     # sampled constraint set nondeterministic; set False for deterministic
     # inline execution (used by reproducibility-sensitive tests).
     async_constraint_search: bool = True
+    # Shard loop-closure candidate batches over a device mesh when more than
+    # one accelerator is visible (SURVEY.md P1 as the production path).
+    use_device_mesh: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

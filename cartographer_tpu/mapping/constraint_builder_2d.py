@@ -5,17 +5,19 @@ sampled dispatch of (node, submap) scan-match tasks; per-submap matcher cache
 (precomputation pyramid); fast correlative match above min_score followed by
 a Gauss-Newton refine produces an INTER_SUBMAP constraint.
 
-TPU design: the reference fans tasks across a thread pool; here each match is
-one batched device program (the BnB search itself is the parallelism), the
-pyramid is cached per submap on device, and `when_done` drains the pending
-queue synchronously — multi-chip sharding of pending pairs lives in
-cartographer_tpu.parallel.sharded_matching.
+TPU design: the reference fans individual tasks across a thread pool
+(constraint_builder_2d.cc:102-186); here all candidate pairs of a node are
+batched into ONE vmapped device program (chunked to bound memory), and when
+a device mesh is available the batch is sharded over its `pairs` axis with
+shard_map — the multi-chip fan-out of SURVEY.md P1 as the production path.
+The per-submap precomputation pyramid is cached on device.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import math
+from functools import lru_cache, partial
 from typing import Dict, List, Optional
 
 import jax
@@ -38,6 +40,40 @@ from cartographer_tpu.ops.scan_matcher_2d import (
 )
 from cartographer_tpu.transform.rigid import Rigid2
 
+# Pairs per device program: bounds stacked-pyramid memory (a depth-7 512^2
+# pyramid is ~7 MB; 16 pairs -> ~112 MB per dispatch).
+_MAX_CHUNK = 16
+
+
+def _match_impl(pyramid, grid, points, mask, init_vec, window,
+                bnb_params, gn_params):
+    found, score, pose = fast_correlative_match_2d(
+        pyramid, grid, points, mask, Rigid2.from_vector(init_vec),
+        bnb_params, min_score=0.0, linear_window_override=window)
+    refined, _ = gauss_newton_match_2d(grid, points, mask, pose, gn_params)
+    return score, refined.to_vector()
+
+
+@lru_cache(maxsize=None)
+def _batched_match_fn(bnb_params, gn_params, window, mesh):
+    """Process-wide jitted batched matcher: BnB + GN refine vmapped over the
+    pairs axis, sharded over `mesh` when given. Shared across ALL
+    ConstraintBuilder instances with the same options — a new trajectory on
+    a serving MapBuilderServer must not recompile the matcher. jit retraces
+    per (batch, points) shape; the executable cache is per shape."""
+    matched = jax.vmap(partial(_match_impl, window=window,
+                               bnb_params=bnb_params, gn_params=gn_params))
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        spec = P("pairs")
+        # No collectives inside (pairs are independent); check_vma off so
+        # the matcher's scalar while_loop carries don't need pcasts.
+        matched = jax.shard_map(
+            matched, mesh=mesh,
+            in_specs=(spec, spec, spec, spec, spec),
+            out_specs=(spec, spec), check_vma=False)
+    return jax.jit(matched)
+
 
 @dataclasses.dataclass
 class Constraint:
@@ -49,11 +85,27 @@ class Constraint:
     translation_weight: float
     rotation_weight: float
     tag: str  # "INTRA_SUBMAP" | "INTER_SUBMAP"
+    score: float = 0.0
+
+
+@dataclasses.dataclass
+class MatchRequest:
+    """One gated (node, submap) candidate awaiting batched matching."""
+
+    submap_id: SubmapId
+    node_id: NodeId
+    grid: Grid2D
+    points: np.ndarray  # (n, 2)
+    init: np.ndarray  # (3,) node pose estimate in the grid frame
+    match_full: bool
 
 
 class ConstraintBuilder2D:
-    def __init__(self, options: ConstraintBuilderOptions):
+    def __init__(self, options: ConstraintBuilderOptions, mesh=None):
+        """`mesh` (jax.sharding.Mesh with a `pairs` axis) shards candidate
+        batches across chips; None runs vmapped on the default device."""
         self._options = options
+        self._mesh = mesh
         fcsm = options.fast_correlative_scan_matcher
         self._bnb_params = FastCorrelativeMatcherParams2D(
             linear_search_window=fcsm.linear_search_window,
@@ -71,7 +123,6 @@ class ConstraintBuilder2D:
         self._samplers: Dict[SubmapId, FixedRatioSampler] = {}
         self._pyramids: Dict[SubmapId, jnp.ndarray] = {}
         self._grids: Dict[SubmapId, Grid2D] = {}
-        self._pending: List[Constraint] = []
         self.score_histogram = Histogram()
         # RegisterMetrics (constraint_builder_2d.cc:318-343).
         from cartographer_tpu import metrics as m
@@ -96,11 +147,7 @@ class ConstraintBuilder2D:
         # Guards the sampler/pyramid-cache state when constraint searches run
         # on background threads (PoseGraph2D async mode).
         self._lock = threading.Lock()
-
-        # Separate compilations for the local window and full-submap window.
-        self._match_local = jax.jit(
-            lambda pyr, g, p, m, iv: self._match_impl(pyr, g, p, m, iv, None))
-        self._match_full = None  # built lazily (window needs the grid size)
+        self._full_window: Optional[float] = None
 
     # ------------------------------------------------------------------ cache
 
@@ -118,19 +165,16 @@ class ConstraintBuilder2D:
         self._grids.pop(submap_id, None)
         self._samplers.pop(submap_id, None)
 
-    # ------------------------------------------------------------------ API
+    # ------------------------------------------------------------------ gating
 
-    def maybe_add_constraint(
+    def begin_constraint(
         self, submap_id: SubmapId, grid: Grid2D, node_id: NodeId,
         node_points: np.ndarray, initial_grid_pose: np.ndarray,
         relative_distance: float = 0.0,
-    ) -> Optional[Constraint]:
-        """Local-window constraint search (constraint_builder_2d.cc:77-111).
-
-        `initial_grid_pose` is the node pose estimate in the submap's grid
-        frame; `relative_distance` is the node-to-submap distance used for
-        the max_constraint_distance gate, alongside the per-submap sampler.
-        """
+    ) -> Optional[MatchRequest]:
+        """Gates for the local-window search (constraint_builder_2d.cc:77-111):
+        max_constraint_distance + per-submap sampling. Returns a request for
+        `compute_constraints`, or None when gated off."""
         if relative_distance > self._options.max_constraint_distance:
             return None
         with self._lock:
@@ -138,67 +182,136 @@ class ConstraintBuilder2D:
                 submap_id, FixedRatioSampler(self._options.sampling_ratio))
             if not sampler.pulse():
                 return None
-        return self._compute_constraint(
-            submap_id, grid, node_id, node_points, initial_grid_pose,
-            match_full_submap=False)
+        return MatchRequest(submap_id, node_id, grid,
+                            np.asarray(node_points)[:, :2],
+                            np.asarray(initial_grid_pose, np.float64),
+                            match_full=False)
+
+    def begin_global_constraint(
+        self, submap_id: SubmapId, grid: Grid2D, node_id: NodeId,
+        node_points: np.ndarray,
+    ) -> Optional[MatchRequest]:
+        """Full-submap search request for global localization
+        (constraint_builder_2d.cc:114-137)."""
+        center = np.asarray(grid.origin) + 0.5 * grid.size * grid.resolution
+        init = np.array([center[0], center[1], 0.0])
+        return MatchRequest(submap_id, node_id, grid,
+                            np.asarray(node_points)[:, :2], init,
+                            match_full=True)
+
+    # ------------------------------------------------------------------ API
+
+    def maybe_add_constraint(
+        self, submap_id: SubmapId, grid: Grid2D, node_id: NodeId,
+        node_points: np.ndarray, initial_grid_pose: np.ndarray,
+        relative_distance: float = 0.0,
+    ) -> Optional[Constraint]:
+        """Single-pair convenience wrapper over the batched path."""
+        req = self.begin_constraint(submap_id, grid, node_id, node_points,
+                                    initial_grid_pose, relative_distance)
+        if req is None:
+            return None
+        out = self.compute_constraints([req])
+        return out[0] if out else None
 
     def maybe_add_global_constraint(
         self, submap_id: SubmapId, grid: Grid2D, node_id: NodeId,
         node_points: np.ndarray,
     ) -> Optional[Constraint]:
-        """Full-submap search for global localization
-        (constraint_builder_2d.cc:114-137)."""
-        center = np.asarray(grid.origin) + 0.5 * grid.size * grid.resolution
-        init = np.array([center[0], center[1], 0.0])
-        return self._compute_constraint(
-            submap_id, grid, node_id, node_points, init, match_full_submap=True)
-
-    def _compute_constraint(self, submap_id, grid, node_id, node_points,
-                            initial_relative_pose, match_full_submap):
-        pyramid, cached_grid = self._matcher_for(submap_id, grid)
-        capacity = 1 << math.ceil(math.log2(max(len(node_points), 16)))
-        pts = np.zeros((capacity, 2), np.float32)
-        pts[: len(node_points)] = node_points[:, :2]
-        mask = np.zeros(capacity, bool)
-        mask[: len(node_points)] = True
-
-        if match_full_submap:
-            window = 0.5 * grid.size * grid.resolution * 0.7
-            min_score = self._options.global_localization_min_score
-            if self._match_full is None:
-                self._match_full = jax.jit(
-                    lambda pyr, g, p, m, iv, w=window: self._match_impl(pyr, g, p, m, iv, w))
-            score, pose_vec = self._match_full(
-                pyramid, cached_grid, jnp.asarray(pts), jnp.asarray(mask),
-                jnp.asarray(initial_relative_pose, jnp.float32))
-        else:
-            min_score = self._options.min_score
-            score, pose_vec = self._match_local(
-                pyramid, cached_grid, jnp.asarray(pts), jnp.asarray(mask),
-                jnp.asarray(initial_relative_pose, jnp.float32))
-
-        score = float(score)
-        self.score_histogram.add(score)
-        if match_full_submap:
-            self._metric_scores_global.observe(score)
-        else:
-            self._metric_scores.observe(score)
-        if score < min_score:
+        req = self.begin_global_constraint(submap_id, grid, node_id, node_points)
+        if req is None:
             return None
-        (self._metric_found_global if match_full_submap
-         else self._metric_found).increment()
-        return Constraint(
-            submap_id=submap_id,
-            node_id=node_id,
-            rel=np.asarray(pose_vec, np.float64),
-            translation_weight=self._options.loop_closure_translation_weight,
-            rotation_weight=self._options.loop_closure_rotation_weight,
-            tag="INTER_SUBMAP",
-        )
+        out = self.compute_constraints([req])
+        return out[0] if out else None
 
-    def _match_impl(self, pyramid, grid, points, mask, init_vec, window):
-        found, score, pose = fast_correlative_match_2d(
-            pyramid, grid, points, mask, Rigid2.from_vector(init_vec),
-            self._bnb_params, min_score=0.0, linear_window_override=window)
-        refined, _ = gauss_newton_match_2d(grid, points, mask, pose, self._gn_params)
-        return score, refined.to_vector()
+    def compute_constraints(self, requests: List[MatchRequest]
+                            ) -> List[Constraint]:
+        """Match a batch of gated candidate pairs in as few device programs
+        as possible (the P1 fan-out): requests are grouped by
+        (full/local, grid size), padded to a power-of-two batch, and run
+        through one vmapped — and, on a mesh, pairs-sharded — program per
+        chunk. Results come back with ONE host sync per chunk."""
+        constraints: List[Constraint] = []
+        groups: Dict[tuple, List[MatchRequest]] = {}
+        for r in requests:
+            if len(r.points) == 0:
+                continue
+            groups.setdefault((r.match_full, r.grid.size), []).append(r)
+        for (full, _size), group in groups.items():
+            for i in range(0, len(group), _MAX_CHUNK):
+                constraints.extend(
+                    self._compute_chunk(group[i:i + _MAX_CHUNK], full))
+        return constraints
+
+    def _compute_chunk(self, group: List[MatchRequest], full: bool
+                       ) -> List[Constraint]:
+        B = len(group)
+        pts_cap = 1 << math.ceil(math.log2(
+            max(max(len(r.points) for r in group), 16)))
+        pyramids = []
+        grids = []
+        for r in group:
+            pyr, grid = self._matcher_for(r.submap_id, r.grid)
+            pyramids.append(pyr)
+            grids.append(grid)
+
+        # Batch capacity: power of two, and a multiple of the mesh size when
+        # sharding (padding lanes rerun the first request; discarded below).
+        bcap = 1 << math.ceil(math.log2(max(B, 1)))
+        use_mesh = (self._mesh is not None
+                    and bcap >= self._mesh.devices.size)
+        if use_mesh:
+            m = self._mesh.devices.size
+            bcap = ((bcap + m - 1) // m) * m
+
+        def padded(items, pad_with):
+            return items + [pad_with] * (bcap - len(items))
+
+        pyramids = jnp.stack(padded(pyramids, pyramids[0]))
+        grid_stack = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *padded(grids, grids[0]))
+        pts = np.zeros((bcap, pts_cap, 2), np.float32)
+        mask = np.zeros((bcap, pts_cap), bool)
+        inits = np.zeros((bcap, 3), np.float32)
+        for i, r in enumerate(group):
+            n = min(len(r.points), pts_cap)
+            pts[i, :n] = r.points[:n]
+            mask[i, :n] = True
+            inits[i] = r.init
+
+        if full and self._full_window is None:
+            g = group[0].grid
+            self._full_window = 0.5 * g.size * g.resolution * 0.7
+        fn = _batched_match_fn(
+            self._bnb_params, self._gn_params,
+            self._full_window if full else None,
+            self._mesh if use_mesh else None)
+        scores, poses = fn(pyramids, grid_stack, jnp.asarray(pts),
+                           jnp.asarray(mask), jnp.asarray(inits))
+        # One host sync for the whole chunk.
+        scores = np.asarray(scores)
+        poses = np.asarray(poses)
+
+        min_score = (self._options.global_localization_min_score if full
+                     else self._options.min_score)
+        out = []
+        for i, r in enumerate(group):
+            score = float(scores[i])
+            self.score_histogram.add(score)
+            (self._metric_scores_global if full
+             else self._metric_scores).observe(score)
+            if score < min_score or not np.all(np.isfinite(poses[i])):
+                continue
+            (self._metric_found_global if full
+             else self._metric_found).increment()
+            out.append(Constraint(
+                submap_id=r.submap_id,
+                node_id=r.node_id,
+                rel=np.asarray(poses[i], np.float64),
+                translation_weight=self._options.loop_closure_translation_weight,
+                rotation_weight=self._options.loop_closure_rotation_weight,
+                tag="INTER_SUBMAP",
+                score=score,
+            ))
+        return out
+

@@ -264,7 +264,11 @@ class LocalTrajectoryBuilder3D:
             self._next_seed())
         stage_t1 = _time.monotonic()
 
-        grids = self._active_submaps.matching_grids
+        # Dense matching windows gathered from the paged submap grids AROUND
+        # THE PREDICTED POSE — tracking never walks out of a fixed box
+        # (hybrid_grid.h:40-52 unbounded-extent semantics).
+        grids = self._active_submaps.matching_grids_at(
+            np.asarray(pose_end[0], np.float32))
         if grids is None:
             est_t, est_q = pose_end
         else:

@@ -222,13 +222,24 @@ class MapBuilder:
         # the sampled constraint set nondeterministic there too.
         threads = (options.num_background_threads
                    if options.async_constraint_search else 0)
+        # Multi-chip: shard loop-closure batches over all visible devices
+        # (SURVEY.md P1; the reference's thread-pool fan-out,
+        # constraint_builder_2d.cc:102-136, is its production path too).
+        mesh = None
+        if options.use_device_mesh:
+            import jax
+            devices = jax.devices()
+            if len(devices) > 1:
+                from jax.sharding import Mesh
+                mesh = Mesh(np.asarray(devices), ("pairs",))
         if options.use_trajectory_builder_3d:
             from cartographer_tpu.mapping.pose_graph_3d import PoseGraph3D
             self.pose_graph = PoseGraph3D(options.pose_graph,
                                           num_background_threads=threads)
         else:
             self.pose_graph = PoseGraph2D(options.pose_graph,
-                                          num_background_threads=threads)
+                                          num_background_threads=threads,
+                                          mesh=mesh)
             ot = options.pose_graph.overlapping_submaps_trimmer_2d
             if ot is not None:
                 # map_builder.cc wires the trimmer from pose graph options.

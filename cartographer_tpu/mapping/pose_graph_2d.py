@@ -27,7 +27,6 @@ from cartographer_tpu.core.time import Time, from_seconds
 from cartographer_tpu.mapping.constraint_builder_2d import Constraint, ConstraintBuilder2D
 from cartographer_tpu.mapping.id import MapById, NodeId, SubmapId
 from cartographer_tpu.mapping.submap_2d import Submap2D
-from cartographer_tpu.ops.spa import SpaProblem2D, solve_spa_2d
 from cartographer_tpu.transform import nquat
 
 
@@ -52,6 +51,15 @@ class SubmapDataEntry:
     frozen: bool = False
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _single_device_mesh(device):
+    from jax.sharding import Mesh
+    return Mesh(np.asarray([device]), ("pairs",))
+
+
 def _pose2d_of_node(node: TrajectoryNode) -> np.ndarray:
     """Gravity-aligned 2D local pose of a node: Project2D(pose * g^-1)."""
     q = nquat.multiply(node.local_pose_rotation, nquat.conjugate(node.gravity_alignment))
@@ -70,18 +78,23 @@ def _inverse2d(a: np.ndarray) -> np.ndarray:
 
 
 class PoseGraph2D:
-    def __init__(self, options: PoseGraphOptions, num_background_threads: int = 0):
+    def __init__(self, options: PoseGraphOptions, num_background_threads: int = 0,
+                 mesh=None):
         """`num_background_threads` > 0 enables the reference's pipelined
         frontend/backend concurrency (SURVEY.md P2): loop-closure searches run
         as background tasks (device dispatches release the GIL) while the
         frontend keeps feeding nodes; optimization waits for the pending
-        batch like ConstraintBuilder2D::WhenDone."""
+        batch like ConstraintBuilder2D::WhenDone. `mesh` (with a `pairs`
+        axis) shards constraint-search batches across chips (SURVEY.md P1)."""
         self._options = options
-        self._constraint_builder = ConstraintBuilder2D(options.constraint_builder)
+        self._mesh = mesh
+        self._constraint_builder = ConstraintBuilder2D(
+            options.constraint_builder, mesh=mesh)
         self._executor = None
         self._pending_futures: List = []
         import threading
         self._result_lock = threading.Lock()
+        self._futures_lock = threading.Lock()
         # Metrics (pose_graph_2d.cc:44-50 work-queue gauges + constraint
         # counters).
         from cartographer_tpu import metrics as m
@@ -212,8 +225,7 @@ class PoseGraph2D:
                     nid = NodeId(tid, nindex)
                     if nid not in entry.node_ids:
                         pairs.append((nid, sid))
-        for nid, sid in pairs:
-            self._schedule_constraint(nid, sid)
+        self._schedule_constraints(pairs)
 
         self._num_nodes_since_last_optimization += 1
         if (self._options.optimize_every_n_nodes > 0
@@ -286,61 +298,87 @@ class PoseGraph2D:
     def add_landmark_data(self, trajectory_id: int, data) -> None:
         self._landmark_observations.append((trajectory_id, data))
 
-    def _odometry_relative(self, trajectory_id: int, t1, t2):
-        """Interpolated odometry relative pose [x, y, theta] between node
-        times, or None (CalculateOdometryBetweenNodes)."""
+    def _odometry_poses_at(self, trajectory_id: int, times):
+        """Interpolated odometry poses [x, y, theta] at the given (sorted)
+        node times; None where the buffer doesn't bracket the time. ONE
+        sorted sweep, O(M + N log M) — replaces the per-pair O(M) lookups of
+        CalculateOdometryBetweenNodes that made each optimization O(N^2)."""
+        import bisect
+
         traj = self._odometry_data.trajectory(trajectory_id)
+        out = [None] * len(times)
         if len(traj) < 2:
-            return None
-
-        def lookup(t):
-            import bisect
-            times = [e[0] for e in traj]
-            if t < times[0] or t > times[-1]:
-                return None
-            i = bisect.bisect_left(times, t)
-            if times[i] == t or i == 0:
-                d = traj[min(i, len(traj) - 1)][1]
-                return np.array([d.pose_translation[0], d.pose_translation[1],
-                                 nquat.get_yaw(d.pose_rotation)])
-            a, b = traj[i - 1][1], traj[i][1]
-            f = (t - traj[i - 1][0]) / (traj[i][0] - traj[i - 1][0])
-            ta = np.array([a.pose_translation[0], a.pose_translation[1],
-                           nquat.get_yaw(a.pose_rotation)])
-            tb = np.array([b.pose_translation[0], b.pose_translation[1],
-                           nquat.get_yaw(b.pose_rotation)])
-            out = ta + f * (tb - ta)
             return out
+        tlist = [e[0] for e in traj]
 
-        p1 = lookup(t1)
-        p2 = lookup(t2)
+        def pose_of(d):
+            return np.array([d.pose_translation[0], d.pose_translation[1],
+                             nquat.get_yaw(d.pose_rotation)])
+
+        for k, t in enumerate(times):
+            if t < tlist[0] or t > tlist[-1]:
+                continue
+            i = bisect.bisect_left(tlist, t)
+            if tlist[i] == t or i == 0:
+                out[k] = pose_of(traj[min(i, len(traj) - 1)][1])
+                continue
+            f = (t - tlist[i - 1]) / (tlist[i] - tlist[i - 1])
+            ta = pose_of(traj[i - 1][1])
+            tb = pose_of(traj[i][1])
+            out[k] = ta + f * (tb - ta)
+        return out
+
+    def _odometry_relative(self, trajectory_id: int, t1, t2):
+        """Interpolated odometry relative pose between two times, or None
+        (CalculateOdometryBetweenNodes)."""
+        p1, p2 = self._odometry_poses_at(trajectory_id, [t1, t2])
         if p1 is None or p2 is None:
             return None
         return _compose2d(_inverse2d(p1), p2)
 
     # ------------------------------------------------------------ loop closure
 
-    def _schedule_constraint(self, node_id: NodeId, submap_id: SubmapId) -> None:
-        """Run the constraint search inline, or dispatch it to the background
-        pool (the device work inside releases the GIL)."""
+    def _schedule_constraints(self, pairs) -> None:
+        """Dispatch all of a node's candidate (node, submap) pairs as ONE
+        batched search task (vmapped/mesh-sharded device program inside),
+        inline or on the background pool (the device work releases the GIL).
+        This is the production form of the reference's per-pair thread-pool
+        fan-out (constraint_builder_2d.cc:102-186)."""
+        if not pairs:
+            return
         if self._executor is None:
-            self._compute_constraint(node_id, submap_id)
+            self._compute_constraints_batch(pairs)
         else:
-            self._pending_futures.append(
-                self._executor.submit(self._compute_constraint, node_id, submap_id))
-            self._metric_pending.set(
-                sum(1 for f in self._pending_futures if not f.done()))
+            with self._futures_lock:
+                self._pending_futures.append(
+                    self._executor.submit(
+                        self._compute_constraints_batch, pairs))
+                self._metric_pending.set(
+                    sum(1 for f in self._pending_futures if not f.done()))
+
+    def _schedule_constraint(self, node_id: NodeId, submap_id: SubmapId) -> None:
+        self._schedule_constraints([(node_id, submap_id)])
 
     def wait_for_all_computations(self) -> None:
-        """WaitForAllComputations (pose_graph_2d.cc:546+): drain pending
-        background constraint searches."""
-        futures, self._pending_futures = self._pending_futures, []
-        for f in futures:
-            f.result()
+        """WaitForAllComputations (pose_graph_2d.cc:546+,841-859): drain
+        pending background constraint searches AND the in-flight solve, so
+        every entry point that observes the graph (FinishTrajectory, final
+        optimization, serialization, query RPCs) sees a consistent state.
+        Loops because a draining solve may itself have been scheduled while
+        new searches were still being appended."""
+        while True:
+            with self._futures_lock:
+                futures, self._pending_futures = self._pending_futures, []
+            if not futures:
+                break
+            for f in futures:
+                f.result()
 
-    def _compute_constraint(self, node_id: NodeId, submap_id: SubmapId) -> None:
-        """ComputeConstraint (pose_graph_2d.cc:261-310): local window when
-        connected recently, global search otherwise.
+    def _compute_constraints_batch(self, pairs) -> None:
+        """ComputeConstraint (pose_graph_2d.cc:261-310) over a batch of
+        (node_id, submap_id) pairs: local window when connected recently,
+        global search otherwise; all surviving requests matched in one
+        batched device dispatch (constraint_builder_2d.compute_constraints).
 
         Frames: grids live in the trajectory-local frame; each submap's SPA
         frame is anchored at the submap origin A (pure translation), so
@@ -349,55 +387,86 @@ class PoseGraph2D:
         corrections acting about the submap content — matching the
         reference's submap local_pose convention.
         """
-        node = self.nodes[node_id]
-        entry = self.submap_data[submap_id]
-        if entry.submap.grid is None:
-            return
-        if node.filtered_points is None or len(node.filtered_points) == 0:
-            return
-        anchor = self._submap_local_pose_2d(entry.submap)
+        requests = []
+        anchors = {}
+        node_times = {}
+        for node_id, submap_id in pairs:
+            node = self.nodes.get(node_id)
+            entry = self.submap_data.get(submap_id)
+            if node is None or entry is None or entry.submap.grid is None:
+                continue
+            if node.filtered_points is None or len(node.filtered_points) == 0:
+                continue
+            anchor = self._submap_local_pose_2d(entry.submap)
+            with self._result_lock:
+                # Recency gate (pose_graph_2d.cc:277-289): local window only
+                # when the trajectories were DIRECTLY connected recently; a
+                # stale connection falls back to sampled global search.
+                last_conn = self._connectivity.last_connection_time(
+                    node_id.trajectory_id, submap_id.trajectory_id)
+                recent = (last_conn is not None and node.time < last_conn
+                          + from_seconds(
+                              self._options.global_constraint_search_after_n_seconds))
+                is_local = (node_id.trajectory_id == submap_id.trajectory_id
+                            or recent)
+                global_pulse = (
+                    False if is_local else
+                    self._global_sampler_for(node_id.trajectory_id).pulse())
+            req = None
+            if is_local:
+                # Node pose estimate in the grid (local) frame:
+                # A * (submap_global^-1 * node_global).
+                rel_est = _compose2d(_inverse2d(entry.global_pose_2d),
+                                     node.global_pose_2d)
+                init = _compose2d(anchor, rel_est)
+                req = self._constraint_builder.begin_constraint(
+                    submap_id, entry.submap.grid, node_id,
+                    node.filtered_points, init,
+                    relative_distance=float(np.linalg.norm(rel_est[:2])))
+            elif global_pulse:
+                req = self._constraint_builder.begin_global_constraint(
+                    submap_id, entry.submap.grid, node_id,
+                    node.filtered_points)
+            if req is not None:
+                requests.append(req)
+                anchors[(node_id, submap_id)] = anchor
+                node_times[node_id] = node.time
 
-        with self._result_lock:
-            # Recency gate (pose_graph_2d.cc:277-289): local window only when
-            # the trajectories were DIRECTLY connected recently; a stale
-            # connection falls back to sampled global search.
-            last_conn = self._connectivity.last_connection_time(
-                node_id.trajectory_id, submap_id.trajectory_id)
-            recent = (last_conn is not None and node.time < last_conn
-                      + from_seconds(
-                          self._options.global_constraint_search_after_n_seconds))
-            is_local = (node_id.trajectory_id == submap_id.trajectory_id
-                        or recent)
-            global_pulse = (False if is_local else
-                            self._global_sampler_for(node_id.trajectory_id).pulse())
-        constraint = None
-        if is_local:
-            # Node pose estimate in the grid (local) frame:
-            # A * (submap_global^-1 * node_global).
-            rel_est = _compose2d(_inverse2d(entry.global_pose_2d), node.global_pose_2d)
-            init = _compose2d(anchor, rel_est)
-            constraint = self._constraint_builder.maybe_add_constraint(
-                submap_id, entry.submap.grid, node_id, node.filtered_points,
-                init, relative_distance=float(np.linalg.norm(rel_est[:2])))
-        elif global_pulse:
-            constraint = self._constraint_builder.maybe_add_global_constraint(
-                submap_id, entry.submap.grid, node_id, node.filtered_points)
-        if constraint is not None:
+        for constraint in self._constraint_builder.compute_constraints(requests):
             # The matcher returns the node pose in the grid frame; re-anchor.
+            anchor = anchors[(constraint.node_id, constraint.submap_id)]
             constraint.rel = _compose2d(_inverse2d(anchor), constraint.rel)
             with self._result_lock:
+                # A trimmer may have removed either endpoint while the
+                # search ran; a dangling constraint must not be appended
+                # (the reference serializes trimming and result merging in
+                # one work queue, pose_graph_2d.cc:444-493).
+                if (constraint.submap_id not in self.submap_data
+                        or constraint.node_id not in self.nodes):
+                    continue
                 self.constraints.append(constraint)
                 # Connect with the node time so the recency window starts now
                 # (pose_graph_2d.cc:422 HandleWorkQueue).
-                self._union(node_id.trajectory_id, submap_id.trajectory_id,
-                            node.time)
+                self._union(constraint.node_id.trajectory_id,
+                            constraint.submap_id.trajectory_id,
+                            node_times[constraint.node_id])
             self._metric_inter.increment()
 
     # ------------------------------------------------------------ optimization
 
     def run_optimization(self, num_iterations: Optional[int] = None) -> None:
         """Build the SPA problem and solve (HandleWorkQueue + RunOptimization,
-        pose_graph_2d.cc:444-518, 861-908)."""
+        pose_graph_2d.cc:444-518, 861-908).
+
+        Production solver: the submap/node-partitioned Schur-complement
+        Gauss-Newton (parallel/schur_spa.py) — node blocks eliminated
+        against the (few) submap blocks, B kept sparse, constraints sharded
+        over the mesh when present. No (3(S+N))^2 system is ever
+        materialized (reference: Ceres sparse solve,
+        optimization_problem_2d.cc:240). Assembly is O(S + N + C): the
+        per-pair odometry lookups that made the old build O(N^2) are one
+        sorted sweep per trajectory (_odometry_poses_at).
+        """
         self.wait_for_all_computations()
         self._metric_optimizations.increment()
         if self.submap_data.empty() or not self.constraints:
@@ -409,18 +478,21 @@ class PoseGraph2D:
         # runs lock-free while the frontend keeps appending (the appended
         # tail is extrapolated at write-back, pose_graph_2d.cc:874-908).
         self._result_lock.acquire()
+        # Submap-side slots: submaps first, landmark slots appended after
+        # (landmarks couple only to nodes — the same two-block structure).
         submap_slots: Dict[SubmapId, int] = {}
         node_slots: Dict[NodeId, int] = {}
-        poses = []
-        fixed = []
+        sub_poses, sub_fixed = [], []
+        node_poses, node_fixed = [], []
         for (tid, sindex), entry in self.submap_data.items():
-            submap_slots[SubmapId(tid, sindex)] = len(poses)
-            poses.append(entry.global_pose_2d)
-            fixed.append(tid in self._frozen_trajectories or len(poses) == 1)
+            submap_slots[SubmapId(tid, sindex)] = len(sub_poses)
+            sub_poses.append(entry.global_pose_2d)
+            sub_fixed.append(tid in self._frozen_trajectories
+                             or len(sub_poses) == 1)
         for (tid, nindex), node in self.nodes.items():
-            node_slots[NodeId(tid, nindex)] = len(poses)
-            poses.append(node.global_pose_2d)
-            fixed.append(tid in self._frozen_trajectories)
+            node_slots[NodeId(tid, nindex)] = len(node_poses)
+            node_poses.append(node.global_pose_2d)
+            node_fixed.append(tid in self._frozen_trajectories)
         # Anchor for tail extrapolation: the last snapshotted submap pose of
         # each trajectory, before and (later) after the solve.
         tail_anchor: Dict[int, SubmapId] = {}
@@ -429,6 +501,7 @@ class PoseGraph2D:
         anchor_old = {tid: self.submap_data[sid].global_pose_2d.copy()
                       for tid, sid in tail_anchor.items()}
 
+        # --- submap-node constraints (INTRA/INTER + landmarks below) ---
         a_idx, b_idx, rels, tws, rws, hubers = [], [], [], [], [], []
         for c in self.constraints:
             if c.submap_id not in submap_slots or c.node_id not in node_slots:
@@ -442,37 +515,37 @@ class PoseGraph2D:
             rws.append(c.rotation_weight)
             hubers.append(c.tag == "INTER_SUBMAP")
 
-        # Consecutive-node constraints from local SLAM and odometry —
+        # --- consecutive-node terms from local SLAM and odometry ---
         # optimization_problem_2d.cc:304-349: without them the relative
         # motion between nodes is only constrained through shared submaps.
         op = self._options.optimization_problem
+        j_idx, nn_rels, nn_tws, nn_rws = [], [], [], []
         for tid in self.nodes.trajectory_ids():
             if tid in self._frozen_trajectories:
                 continue
             items = self.nodes.trajectory(tid)
-            for (i1, n1), (i2, n2) in zip(items, items[1:]):
+            odo = self._odometry_poses_at(tid, [n.time for _, n in items])
+            for k, ((i1, n1), (i2, n2)) in enumerate(zip(items, items[1:])):
+                s1 = node_slots[NodeId(tid, i1)]
+                # Node slots of one trajectory are contiguous (MapById
+                # iterates per-trajectory in index order), the Schur T block
+                # stays tridiagonal.
                 p1 = _pose2d_of_node(n1)
                 p2 = _pose2d_of_node(n2)
-                a_idx.append(node_slots[NodeId(tid, i1)])
-                b_idx.append(node_slots[NodeId(tid, i2)])
-                rels.append(_compose2d(_inverse2d(p1), p2))
-                tws.append(op.local_slam_pose_translation_weight)
-                rws.append(op.local_slam_pose_rotation_weight)
-                hubers.append(False)
-                odo = self._odometry_relative(tid, n1.time, n2.time)
-                if odo is not None:
-                    a_idx.append(node_slots[NodeId(tid, i1)])
-                    b_idx.append(node_slots[NodeId(tid, i2)])
-                    rels.append(odo)
-                    tws.append(op.odometry_translation_weight)
-                    rws.append(op.odometry_rotation_weight)
-                    hubers.append(False)
+                j_idx.append(s1)
+                nn_rels.append(_compose2d(_inverse2d(p1), p2))
+                nn_tws.append(op.local_slam_pose_translation_weight)
+                nn_rws.append(op.local_slam_pose_rotation_weight)
+                if odo[k] is not None and odo[k + 1] is not None:
+                    j_idx.append(s1)
+                    nn_rels.append(_compose2d(_inverse2d(odo[k]), odo[k + 1]))
+                    nn_tws.append(op.odometry_translation_weight)
+                    nn_rws.append(op.odometry_rotation_weight)
 
-        # Fixed-frame (GPS) constraints: unary anchors expressed against a
-        # fixed world slot (optimization_problem_2d.cc:351-389). The world
-        # slot is appended fixed at identity; rotation weight 0 when the fix
-        # carries no orientation.
-        world_slot = None
+        # --- fixed-frame (GPS) unary anchors ---
+        # (optimization_problem_2d.cc:351-389); rotation weight 0 when the
+        # fix carries no orientation.
+        u_idx, u_rels, u_tws, u_rws, u_hubers = [], [], [], [], []
         for tid in self.nodes.trajectory_ids():
             traj_ff = self._fixed_frame_data.trajectory(tid)
             if not traj_ff:
@@ -490,25 +563,21 @@ class PoseGraph2D:
                 if cand[0] > 1_000_000:
                     continue
                 fix = traj_ff[cand[1]][1]
-                if world_slot is None:
-                    world_slot = len(poses)
-                    poses.append(np.zeros(3))
-                    fixed.append(True)
                 yaw = (nquat.get_yaw(fix.pose_rotation)
                        if fix.pose_rotation is not None else 0.0)
-                a_idx.append(world_slot)
-                b_idx.append(node_slots[NodeId(tid, nindex)])
-                rels.append(np.array([fix.pose_translation[0],
-                                      fix.pose_translation[1], yaw]))
-                tws.append(op.fixed_frame_pose_translation_weight)
-                rws.append(op.fixed_frame_pose_rotation_weight
-                           if fix.pose_rotation is not None else 0.0)
-                hubers.append(op.fixed_frame_pose_use_tolerant_loss)
+                u_idx.append(node_slots[NodeId(tid, nindex)])
+                u_rels.append(np.array([fix.pose_translation[0],
+                                        fix.pose_translation[1], yaw]))
+                u_tws.append(op.fixed_frame_pose_translation_weight)
+                u_rws.append(op.fixed_frame_pose_rotation_weight
+                             if fix.pose_rotation is not None else 0.0)
+                u_hubers.append(op.fixed_frame_pose_use_tolerant_loss)
 
-        # Landmark constraints: one extra slot per landmark id, observation
-        # = landmark pose in the tracking frame of the nearest node
-        # (landmark_cost_function_2d.h; nearest-node instead of the
-        # reference's time interpolation between adjacent nodes).
+        # --- landmarks: submap-side slots (couple only to nodes) ---
+        # observation = landmark pose in the tracking frame of the nearest
+        # node (landmark_cost_function_2d.h; nearest-node instead of the
+        # reference's time interpolation between adjacent nodes). The
+        # residual is expressed landmark-side: rel = landmark^-1 * node.
         landmark_slots: Dict[str, int] = {}
         for tid, data in self._landmark_observations:
             node_items = self.nodes.trajectory(tid)
@@ -519,68 +588,48 @@ class PoseGraph2D:
             if abs(nearest_node.time - data.time) > 1_000_000:
                 continue
             for obs in data.landmark_observations:
-                if obs.id not in landmark_slots:
-                    landmark_slots[obs.id] = len(poses)
-                    if obs.id in self.landmark_poses:
-                        # Previously optimized or client-set landmark pose;
-                        # frozen landmarks stay fixed anchors
-                        # (optimization_problem LandmarkNode.frozen).
-                        poses.append(np.asarray(self.landmark_poses[obs.id], float))
-                        fixed.append(obs.id in self._frozen_landmarks)
-                    else:
-                        node_pose = nearest_node.global_pose_2d
-                        obs2d = np.array([
-                            obs.landmark_to_tracking_transform_translation[0],
-                            obs.landmark_to_tracking_transform_translation[1],
-                            nquat.get_yaw(obs.landmark_to_tracking_transform_rotation)])
-                        poses.append(_compose2d(node_pose, obs2d))
-                        fixed.append(False)
                 obs2d = np.array([
                     obs.landmark_to_tracking_transform_translation[0],
                     obs.landmark_to_tracking_transform_translation[1],
                     nquat.get_yaw(obs.landmark_to_tracking_transform_rotation)])
-                a_idx.append(node_slots[NodeId(tid, nearest_index)])
-                b_idx.append(landmark_slots[obs.id])
-                rels.append(obs2d)
+                if obs.id not in landmark_slots:
+                    landmark_slots[obs.id] = len(sub_poses)
+                    if obs.id in self.landmark_poses:
+                        # Previously optimized or client-set landmark pose;
+                        # frozen landmarks stay fixed anchors
+                        # (optimization_problem LandmarkNode.frozen).
+                        sub_poses.append(
+                            np.asarray(self.landmark_poses[obs.id], float))
+                        sub_fixed.append(obs.id in self._frozen_landmarks)
+                    else:
+                        sub_poses.append(_compose2d(
+                            nearest_node.global_pose_2d, obs2d))
+                        sub_fixed.append(False)
+                a_idx.append(landmark_slots[obs.id])
+                b_idx.append(node_slots[NodeId(tid, nearest_index)])
+                rels.append(_inverse2d(obs2d))
                 tws.append(obs.translation_weight)
                 rws.append(obs.rotation_weight)
                 hubers.append(False)
 
-        C = len(a_idx)
-        cap = 1 << int(np.ceil(np.log2(max(C, 16))))
-        vcap = len(poses)
-
-        def pad(arr, shape, dtype):
-            out = np.zeros(shape, dtype)
-            out[: len(arr)] = arr
-            return out
-
         self._result_lock.release()
 
-        problem = SpaProblem2D(
-            poses=jnp.asarray(np.asarray(poses, np.float32)),
-            a_idx=jnp.asarray(pad(a_idx, (cap,), np.int32)),
-            b_idx=jnp.asarray(pad(b_idx, (cap,), np.int32)),
-            rel=jnp.asarray(pad(rels, (cap, 3), np.float32)),
-            trans_weight=jnp.asarray(pad(tws, (cap,), np.float32)),
-            rot_weight=jnp.asarray(pad(rws, (cap,), np.float32)),
-            use_huber=jnp.asarray(pad(hubers, (cap,), bool)),
-            valid=jnp.asarray(np.arange(cap) < C),
-            fixed=jnp.asarray(np.asarray(fixed, bool)),
-        )
-        solved = np.asarray(solve_spa_2d(
-            problem, num_iterations=num_iterations,
-            huber_scale=self._options.optimization_problem.huber_scale))
+        sub_solved, node_solved = self._solve_schur(
+            sub_poses, sub_fixed, node_poses, node_fixed,
+            (a_idx, b_idx, rels, tws, rws, hubers),
+            (j_idx, nn_rels, nn_tws, nn_rws),
+            (u_idx, u_rels, u_tws, u_rws, u_hubers),
+            num_iterations)
 
         with self._result_lock:
             for sid, slot in submap_slots.items():
                 if sid in self.submap_data:
-                    self.submap_data[sid].global_pose_2d = solved[slot].astype(np.float64)
+                    self.submap_data[sid].global_pose_2d = sub_solved[slot].astype(np.float64)
             for nid, slot in node_slots.items():
                 if nid in self.nodes:
-                    self.nodes[nid].global_pose_2d = solved[slot].astype(np.float64)
+                    self.nodes[nid].global_pose_2d = node_solved[slot].astype(np.float64)
             for lid, slot in landmark_slots.items():
-                self.landmark_poses[lid] = solved[slot].astype(np.float64)
+                self.landmark_poses[lid] = sub_solved[slot].astype(np.float64)
             # Extrapolate submaps/nodes appended while the solve ran: shift
             # them by the correction of their trajectory's anchor submap
             # (last optimized), new_anchor * old_anchor^-1.
@@ -600,6 +649,80 @@ class PoseGraph2D:
             self._run_trimmers()
         for cb in self._global_optimization_callbacks:
             cb()
+
+    def _solve_schur(self, sub_poses, sub_fixed, node_poses, node_fixed,
+                     sn_terms, nn_terms, u_terms, num_iterations):
+        """Pad the partitioned problem to power-of-two buckets (bounds
+        recompiles) and run the Schur GN solve on the mesh (or one device).
+        Returns (sub_solved (S,3) np, node_solved (N,3) np)."""
+        from cartographer_tpu.parallel.schur_spa import (
+            SchurSpaProblem2D,
+            solve_spa_2d_schur,
+        )
+
+        a_idx, b_idx, rels, tws, rws, hubers = sn_terms
+        j_idx, nn_rels, nn_tws, nn_rws = nn_terms
+        u_idx, u_rels, u_tws, u_rws, u_hubers = u_terms
+        S, N = len(sub_poses), len(node_poses)
+        Sp = 1 << int(np.ceil(np.log2(max(S, 2))))
+        Np = 1 << int(np.ceil(np.log2(max(N, 2))))
+
+        mesh = self._mesh
+        if mesh is None:
+            import jax
+            from jax.sharding import Mesh
+            mesh = _single_device_mesh(jax.devices()[0])
+        m = mesh.devices.size
+
+        def cap_of(n):
+            c = 1 << int(np.ceil(np.log2(max(n, 16))))
+            return ((c + m - 1) // m) * m
+
+        def padi(arr, cap):
+            out = np.zeros(cap, np.int32)
+            out[: len(arr)] = arr
+            return jnp.asarray(out)
+
+        def padf(arr, cap, width=None):
+            shape = (cap,) if width is None else (cap, width)
+            out = np.zeros(shape, np.float32)
+            if len(arr):
+                out[: len(arr)] = arr
+            return jnp.asarray(out)
+
+        def padp(poses, fixed, cap):
+            p = np.zeros((cap, 3), np.float32)
+            p[: len(poses)] = poses
+            f = np.ones(cap, bool)
+            f[: len(fixed)] = fixed
+            return jnp.asarray(p), jnp.asarray(f)
+
+        C, D, U = len(a_idx), len(j_idx), len(u_idx)
+        Cc, Dc, Uc = cap_of(C), cap_of(D), cap_of(U)
+        sub_p, sub_f = padp(sub_poses, sub_fixed, Sp)
+        nod_p, nod_f = padp(node_poses, node_fixed, Np)
+        problem = SchurSpaProblem2D(
+            submap_poses=sub_p, node_poses=nod_p,
+            a_idx=padi(a_idx, Cc), b_idx=padi(b_idx, Cc),
+            rel=padf(rels, Cc, 3),
+            trans_weight=padf(tws, Cc), rot_weight=padf(rws, Cc),
+            use_huber=jnp.asarray(
+                np.pad(np.asarray(hubers, bool), (0, Cc - C))),
+            valid=jnp.asarray(np.arange(Cc) < C),
+            j_idx=padi(j_idx, Dc), nn_rel=padf(nn_rels, Dc, 3),
+            nn_trans_weight=padf(nn_tws, Dc), nn_rot_weight=padf(nn_rws, Dc),
+            nn_valid=jnp.asarray(np.arange(Dc) < D),
+            submap_fixed=sub_f, node_fixed=nod_f,
+            u_idx=padi(u_idx, Uc), u_rel=padf(u_rels, Uc, 3),
+            u_trans_weight=padf(u_tws, Uc), u_rot_weight=padf(u_rws, Uc),
+            u_huber=jnp.asarray(
+                np.pad(np.asarray(u_hubers, bool), (0, Uc - U))),
+            u_valid=jnp.asarray(np.arange(Uc) < U),
+        )
+        sub_solved, node_solved = solve_spa_2d_schur(
+            mesh, problem, num_iterations=num_iterations,
+            huber_scale=self._options.optimization_problem.huber_scale)
+        return np.asarray(sub_solved), np.asarray(node_solved)
 
     def run_final_optimization(self) -> None:
         self.wait_for_optimization()
@@ -683,9 +806,17 @@ class PoseGraph2D:
         self._find(trajectory_id)
 
     def finish_trajectory(self, trajectory_id: int) -> None:
-        """PoseGraphInterface::FinishTrajectory state transition."""
+        """PoseGraphInterface::FinishTrajectory state transition.
+
+        Mirrors the reference's finish semantics (pose_graph_2d.cc:546+
+        WaitForAllComputations): the trajectory is only observably finished
+        once its pending background constraint searches and any in-flight
+        solve have drained — callers querying constraints right after
+        finish must see them."""
         if self.trajectory_states.get(trajectory_id) != "FROZEN":
             self.trajectory_states[trajectory_id] = "FINISHED"
+        self.wait_for_all_computations()
+        self.wait_for_optimization()
 
     def delete_trajectory(self, trajectory_id: int) -> None:
         """PoseGraph2D::DeleteTrajectory: purge the trajectory's submaps,

@@ -88,6 +88,7 @@ class PoseGraph3D:
         self._options = options
         import threading
         self._result_lock = threading.Lock()
+        self._futures_lock = threading.Lock()
         self._executor = None
         self._optimizer_executor = None
         self._optimization_future = None
@@ -263,13 +264,20 @@ class PoseGraph3D:
         if self._executor is None:
             self._compute_constraint(node_id, submap_id)
         else:
-            self._pending_futures.append(
-                self._executor.submit(self._compute_constraint, node_id, submap_id))
+            with self._futures_lock:
+                self._pending_futures.append(
+                    self._executor.submit(
+                        self._compute_constraint, node_id, submap_id))
 
     def wait_for_all_computations(self) -> None:
-        futures, self._pending_futures = self._pending_futures, []
-        for f in futures:
-            f.result()
+        """Drain pending searches + in-flight solve (see 2D docstring)."""
+        while True:
+            with self._futures_lock:
+                futures, self._pending_futures = self._pending_futures, []
+            if not futures:
+                break
+            for f in futures:
+                f.result()
 
     def _schedule_optimization(self) -> None:
         if self._optimizer_executor is None:
@@ -623,8 +631,11 @@ class PoseGraph3D:
         self._find(trajectory_id)
 
     def finish_trajectory(self, trajectory_id: int) -> None:
+        """FinishTrajectory + WaitForAllComputations (see 2D docstring)."""
         if self.trajectory_states.get(trajectory_id) != "FROZEN":
             self.trajectory_states[trajectory_id] = "FINISHED"
+        self.wait_for_all_computations()
+        self.wait_for_optimization()
 
     def delete_trajectory(self, trajectory_id: int) -> None:
         """PoseGraph3D::DeleteTrajectory (immediate purge, see 2D docstring)."""

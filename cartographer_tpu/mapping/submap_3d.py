@@ -1,38 +1,87 @@
-"""3D submaps: dual-resolution grids + rotational histogram.
+"""3D submaps: dual-resolution PAGED grids + rotational histogram.
 
 Reference: mapping/3d/submap_3d.{h,cc} — each submap holds a high-resolution
-grid (points within high_resolution_max_range), a low-resolution grid, an
-optional intensity grid, and a rotational histogram accumulated per scan;
-ActiveSubmaps3D keeps the two-submap window (rotate at num_range_data,
-finish at 2x).
+grid (points within high_resolution_max_range), a low-resolution grid, and a
+rotational histogram accumulated per scan; ActiveSubmaps3D keeps the
+two-submap window (rotate at num_range_data, finish at 2x). The reference's
+HybridGrid (mapping/3d/hybrid_grid.h:40-52) is UNBOUNDED — a 3-level sparse
+voxel tree.
 
-TPU design: both submaps' grids are batched pytrees (leading dim 2) so one
-vmapped device call inserts a scan into every grid, mirroring submap_2d.
+TPU design: every submap's grids are PagedSubmapGrid3D page pools
+(ops/paged_grid_3d.py) — the sparse hybrid-grid semantics at static shapes
+(default 204.8 m addressable per side). The dense matching kernels consume
+windows gathered on demand with `crop_dense`: the frontend crops around the
+CURRENT pose prediction every scan (so tracking never walks out of a fixed
+box), and a finished submap snapshots one content-centered dense crop for
+the loop-closure pyramid + serialization (tpu.high/low_grid_size are those
+crop windows).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from cartographer_tpu.core.config import SubmapsOptions3D, TpuOptions3D
-from cartographer_tpu.ops.grid_3d import Grid3D, insert_range_data_3d
+from cartographer_tpu.ops.grid_3d import Grid3D
+from cartographer_tpu.ops.paged_grid_3d import PagedSubmapGrid3D
 from cartographer_tpu.ops.rot_histogram import rotate_histogram
 
 
-@dataclasses.dataclass
 class Submap3D:
-    local_pose_translation: np.ndarray  # (3,)
-    local_pose_rotation: np.ndarray  # (4,)
-    num_range_data: int = 0
-    insertion_finished: bool = False
-    high_grid: Optional[Grid3D] = None  # set on finish
-    low_grid: Optional[Grid3D] = None
-    histogram: Optional[np.ndarray] = None
+    """One 3D submap: paged (sparse, unbounded-extent) grids plus lazy
+    content-centered dense crop views.
+
+    `high_grid`/`low_grid` are what the dense loop-closure/matching kernels
+    and serialization consume: for a live paged submap they are gathered on
+    first access after finish (content-centered, `crop_sizes` window) and
+    cached; deserialized submaps set them directly."""
+
+    def __init__(self, local_pose_translation, local_pose_rotation,
+                 num_range_data: int = 0, insertion_finished: bool = False,
+                 high_paged: Optional[PagedSubmapGrid3D] = None,
+                 low_paged: Optional[PagedSubmapGrid3D] = None,
+                 high_grid: Optional[Grid3D] = None,
+                 low_grid: Optional[Grid3D] = None,
+                 histogram: Optional[np.ndarray] = None,
+                 crop_sizes: Tuple[int, int] = (256, 192)):
+        self.local_pose_translation = local_pose_translation
+        self.local_pose_rotation = local_pose_rotation
+        self.num_range_data = num_range_data
+        self.insertion_finished = insertion_finished
+        self.high_paged = high_paged
+        self.low_paged = low_paged
+        self._high_grid = high_grid
+        self._low_grid = low_grid
+        self.histogram = histogram
+        self._crop_sizes = crop_sizes
+
+    @property
+    def high_grid(self) -> Optional[Grid3D]:
+        if (self._high_grid is None and self.insertion_finished
+                and self.high_paged is not None):
+            self._high_grid = self.high_paged.crop_dense(
+                self.high_paged.known_center(), self._crop_sizes[0])
+        return self._high_grid
+
+    @high_grid.setter
+    def high_grid(self, grid) -> None:
+        self._high_grid = grid
+
+    @property
+    def low_grid(self) -> Optional[Grid3D]:
+        if (self._low_grid is None and self.insertion_finished
+                and self.low_paged is not None):
+            self._low_grid = self.low_paged.crop_dense(
+                self.low_paged.known_center(), self._crop_sizes[1])
+        return self._low_grid
+
+    @low_grid.setter
+    def low_grid(self, grid) -> None:
+        self._low_grid = grid
 
 
 class ActiveSubmaps3D:
@@ -42,59 +91,28 @@ class ActiveSubmaps3D:
         self._tpu = tpu
         self._histogram_size = histogram_size
         self.submaps: List[Submap3D] = []
-        self._high: Optional[Grid3D] = None  # batched (2, S, S, S)
-        self._low: Optional[Grid3D] = None
-        self._histograms = np.zeros((2, histogram_size))
-        ins = options.range_data_inserter
+        self._histograms: List[np.ndarray] = []
 
-        def insert_one(high, low, origin, points, mask, active):
-            in_high_range = (
-                jnp.linalg.norm(points - origin[None, :], axis=-1)
-                <= options.high_resolution_max_range)
-            new_high = insert_range_data_3d(
-                high, origin, points, mask & in_high_range,
-                hit_probability=ins.hit_probability,
-                miss_probability=ins.miss_probability,
-                num_free_space_voxels=ins.num_free_space_voxels)
-            new_low = insert_range_data_3d(
-                low, origin, points, mask,
-                hit_probability=ins.hit_probability,
-                miss_probability=ins.miss_probability,
-                num_free_space_voxels=ins.num_free_space_voxels)
-            keep = lambda old, new: jax.tree_util.tree_map(
-                lambda o, n: jnp.where(active, n, o), old, new)
-            return keep(high, new_high), keep(low, new_low)
-
-        self._insert_fn = jax.jit(
-            jax.vmap(insert_one, in_axes=(0, 0, None, None, None, 0)),
-            donate_argnums=(0, 1))
-
-    def _blank(self, center):
-        high = Grid3D.create(self._tpu.high_grid_size,
-                             self._options.high_resolution, center)
-        low = Grid3D.create(self._tpu.low_grid_size,
-                            self._options.low_resolution, center)
+    def _new_paged(self, center: np.ndarray) -> Tuple[PagedSubmapGrid3D,
+                                                      PagedSubmapGrid3D]:
+        t = self._tpu
+        high = PagedSubmapGrid3D(
+            self._options.high_resolution, center, page_size=t.page_size,
+            max_pages=t.max_pages, num_blocks=t.num_blocks)
+        low = PagedSubmapGrid3D(
+            self._options.low_resolution, center, page_size=t.page_size,
+            max_pages=t.max_pages, num_blocks=t.num_blocks)
         return high, low
 
-    def _set_slot(self, slot, high, low):
-        if self._high is None:
-            self._high = jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), high)
-            self._low = jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), low)
-        else:
-            self._high = jax.tree_util.tree_map(
-                lambda a, o: a.at[slot].set(o), self._high, high)
-            self._low = jax.tree_util.tree_map(
-                lambda a, o: a.at[slot].set(o), self._low, low)
-
-    def _grid_at(self, slot):
-        return (jax.tree_util.tree_map(lambda x: x[slot], self._high),
-                jax.tree_util.tree_map(lambda x: x[slot], self._low))
-
-    @property
-    def matching_grids(self):
-        if self._high is None:
+    def matching_grids_at(self, center) -> Optional[Tuple[Grid3D, Grid3D]]:
+        """Dense (high, low) crops of the MATCHING (oldest active) submap
+        around `center` — the scan's predicted pose, so the usable matching
+        window follows the robot instead of the submap origin."""
+        if not self.submaps:
             return None
-        return self._grid_at(0)
+        s = self.submaps[0]
+        return (s.high_paged.crop_dense(center, self._tpu.high_grid_size),
+                s.low_paged.crop_dense(center, self._tpu.low_grid_size))
 
     @property
     def matching_histogram(self) -> np.ndarray:
@@ -111,51 +129,66 @@ class ActiveSubmaps3D:
                 self.submaps[-1].num_range_data == self._options.num_range_data):
             self._add_submap(np.asarray(origin_local))
 
-        active = jnp.asarray([True, len(self.submaps) > 1], bool)
-        self._high, self._low = self._insert_fn(
-            self._high, self._low, origin_local, points_local, mask, active)
-        # Histogram accumulates the scan histogram rotated into the submap
-        # frame (submap_3d.h:95-104 rotation semantics; our submaps are
-        # yaw-anchored at identity, so the scan yaw is the rotation).
+        ins = self._options.range_data_inserter
+        origin_np = np.asarray(origin_local, np.float32)
+        points_np = np.asarray(points_local, np.float32)
+        mask_np = np.asarray(mask)
+        # High-resolution grid only keeps points within its range gate
+        # (submap_3d.cc high_resolution_max_range).
+        in_high = (np.linalg.norm(points_np - origin_np[None, :], axis=-1)
+                   <= self._options.high_resolution_max_range)
         rotated = np.asarray(rotate_histogram(
             jnp.asarray(scan_histogram), scan_yaw_in_local))
         for i, submap in enumerate(self.submaps):
+            submap.high_paged.insert_range_data(
+                origin_np, points_np, mask_np & in_high,
+                hit_probability=ins.hit_probability,
+                miss_probability=ins.miss_probability,
+                num_free_space_voxels=ins.num_free_space_voxels)
+            submap.low_paged.insert_range_data(
+                origin_np, points_np, mask_np,
+                hit_probability=ins.hit_probability,
+                miss_probability=ins.miss_probability,
+                num_free_space_voxels=ins.num_free_space_voxels)
             submap.num_range_data += 1
+            # Histogram accumulates the scan histogram rotated into the
+            # submap frame (submap_3d.h:95-104; submaps are yaw-anchored at
+            # identity, so the scan yaw is the rotation).
             self._histograms[i] += rotated
 
         front = self.submaps[0]
         if (not front.insertion_finished
                 and front.num_range_data == 2 * self._options.num_range_data):
-            front.insertion_finished = True
-            front.high_grid, front.low_grid = self._grid_at(0)
-            front.histogram = self._histograms[0].copy()
+            self._finish(0)
             finished.append(front)
         return finished
+
+    def _finish(self, i: int) -> None:
+        """Finish a submap: compact its page pools (only the allocated
+        pages survive — bounded memory per finished submap) and stamp the
+        histogram; the dense crop views materialize lazily on first use."""
+        submap = self.submaps[i]
+        submap.insertion_finished = True
+        submap.high_paged.compact()
+        submap.low_paged.compact()
+        submap.histogram = self._histograms[i].copy()
 
     def _add_submap(self, origin: np.ndarray) -> None:
         if len(self.submaps) == 2:
             self.submaps.pop(0)
-            h1, l1 = self._grid_at(1)
-            self._set_slot(0, h1, l1)
-            self._histograms[0] = self._histograms[1]
-        new = Submap3D(
+            self._histograms.pop(0)
+        high, low = self._new_paged(np.asarray(origin, np.float32))
+        self.submaps.append(Submap3D(
             local_pose_translation=np.asarray(origin, float),
-            local_pose_rotation=np.array([1.0, 0, 0, 0]))
-        self.submaps.append(new)
-        slot = len(self.submaps) - 1
-        high, low = self._blank(np.asarray(origin, np.float32))
-        self._set_slot(slot, high, low)
-        self._histograms[slot] = 0.0
-        if len(self.submaps) == 1:
-            self._set_slot(1, high, low)
-            self._histograms[1] = 0.0
+            local_pose_rotation=np.array([1.0, 0, 0, 0]),
+            high_paged=high, low_paged=low,
+            crop_sizes=(self._tpu.high_grid_size, self._tpu.low_grid_size)))
+        self._histograms.append(np.zeros(self._histogram_size))
 
     def finish_all(self) -> List[Submap3D]:
         finished = []
         for i, submap in enumerate(self.submaps):
             if not submap.insertion_finished:
-                submap.insertion_finished = True
-                submap.high_grid, submap.low_grid = self._grid_at(i)
-                submap.histogram = self._histograms[i].copy()
+                self._finish(i)
                 finished.append(submap)
         return finished

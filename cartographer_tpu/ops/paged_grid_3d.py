@@ -170,6 +170,33 @@ class PagedSubmapGrid3D:
         Grid3D (for the dense scan-matching kernels)."""
         return crop_dense(self.grid, jnp.asarray(center, jnp.float32), size)
 
+    def compact(self) -> None:
+        """Shrink the pool to the allocated pages (padded to a power of two
+        so crop_dense compiles per size bucket, not per submap) and move it
+        to host memory — a finished submap keeps only its content
+        (~allocated_pages * page_size^3 floats) instead of the full pool."""
+        import math
+
+        n = max(1, 1 << math.ceil(math.log2(max(self.num_allocated, 1))))
+        n = min(n, self.grid.max_pages)
+        self.grid = dataclasses.replace(
+            self.grid,
+            pages=np.asarray(self.grid.pages[:n]),
+            known=np.asarray(self.grid.known[:n]),
+            page_table=np.asarray(self.grid.page_table),
+            origin=np.asarray(self.grid.origin))
+
+    def known_center(self) -> np.ndarray:
+        """World center of the allocated (touched) blocks — the content
+        centroid, used to place content-centered dense crops at finish."""
+        if not self._slots:
+            return np.asarray(self.grid.origin) + (
+                0.5 * self.grid.num_blocks * self.grid.page_size
+                * self.grid.resolution)
+        keys = np.asarray(list(self._slots.keys()), np.float64)
+        mid = (keys.mean(axis=0) + 0.5) * self.grid.page_size
+        return np.asarray(self.grid.origin) + mid * self.grid.resolution
+
 
 from functools import partial
 

@@ -213,8 +213,17 @@ class NativeOrderedMultiQueue:
         key_out = ctypes.c_int64()
         time_out = ctypes.c_int64()
         handle_out = ctypes.c_int64()
-        while self._lib.omq_next(self._q, ctypes.byref(key_out),
-                                 ctypes.byref(time_out), ctypes.byref(handle_out)):
+        while True:
+            rc = self._lib.omq_next(self._q, ctypes.byref(key_out),
+                                    ctypes.byref(time_out),
+                                    ctypes.byref(handle_out))
+            if rc == -1:
+                # Reference CHECK (ordered_multi_queue.cc Dispatch).
+                raise ValueError(
+                    f"out-of-order dispatch from queue "
+                    f"{self._id_to_key.get(key_out.value)}: {time_out.value}")
+            if rc == 0:
+                break
             key = self._id_to_key[key_out.value]
             data = self._store.pop(handle_out.value)
             self._callbacks[key](time_out.value, data)

@@ -227,7 +227,9 @@ int omq_add(OrderedMultiQueue* q, int64_t key, int64_t time, int64_t handle) {
   return 1;
 }
 
-// Next dispatchable item; returns 1 and fills outputs, or 0 if blocked/empty.
+// Next dispatchable item; returns 1 and fills outputs, 0 if blocked/empty,
+// or -1 if the head item would dispatch out of order (the reference CHECKs,
+// ordered_multi_queue.cc Dispatch; the Python wrapper raises).
 // Implements the merge-sort rule: dispatch the minimum-time head only when
 // every unfinished queue is non-empty (ordered_multi_queue.cc).
 int omq_next(OrderedMultiQueue* q, int64_t* out_key, int64_t* out_time,
@@ -255,6 +257,7 @@ int omq_next(OrderedMultiQueue* q, int64_t* out_key, int64_t* out_time,
   *out_key = best_key;
   *out_time = mutable_best.items.front().first;
   *out_handle = mutable_best.items.front().second;
+  if (*out_time < q->last_dispatched_time) return -1;
   mutable_best.items.pop_front();
   q->last_dispatched_time = *out_time;
   // Drop fully finished empty queues.
