@@ -9,5 +9,6 @@ metric, docs/source/evaluation.rst).
 from cartographer_tpu.ground_truth.relations import (
     GroundTruthRelation,
     autogenerate_ground_truth,
+    autogenerate_ground_truth_3d,
     compute_relations_metrics,
 )

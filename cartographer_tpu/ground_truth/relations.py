@@ -95,6 +95,63 @@ def autogenerate_ground_truth(
     return relations
 
 
+def autogenerate_ground_truth_3d(
+    pose_graph,
+    min_covered_distance: float = 100.0,
+    outlier_threshold_meters: float = 0.15,
+    outlier_threshold_radians: float = 0.02,
+) -> List[GroundTruthRelation]:
+    """SE(3) variant of autogenerate_ground_truth.cc for PoseGraph3D."""
+
+    def inv(t, q):
+        iq = nquat.conjugate(q)
+        return -nquat.rotate(iq, t), iq
+
+    def compose(ta, qa, tb, qb):
+        return ta + nquat.rotate(qa, tb), nquat.normalize(nquat.multiply(qa, qb))
+
+    relations: List[GroundTruthRelation] = []
+    for c in pose_graph.constraints:
+        if c.tag != "INTER_SUBMAP":
+            continue
+        entry = pose_graph.submap_data.get(c.submap_id)
+        if entry is None or not entry.node_ids:
+            continue
+        first_node_id = min(entry.node_ids)
+        if first_node_id.trajectory_id != c.node_id.trajectory_id:
+            continue
+        node_items = pose_graph.nodes.trajectory(c.node_id.trajectory_id)
+        lo = min(first_node_id.node_index, c.node_id.node_index)
+        hi = max(first_node_id.node_index, c.node_id.node_index)
+        covered, prev = 0.0, None
+        for index, node in node_items:
+            if lo <= index <= hi:
+                p = node.global_t
+                if prev is not None:
+                    covered += float(np.linalg.norm(p - prev))
+                prev = p
+        if covered < min_covered_distance:
+            continue
+        node1 = pose_graph.nodes[first_node_id]
+        node2 = pose_graph.nodes[c.node_id]
+        it, iq = inv(node1.global_t, node1.global_q)
+        rel_t, rel_q = compose(it, iq, node2.global_t, node2.global_q)
+        # Outlier gate vs the constraint measurement.
+        ist, isq = inv(entry.global_t, entry.global_q)
+        opt_t, opt_q = compose(ist, isq, node2.global_t, node2.global_q)
+        iot, ioq = inv(opt_t, opt_q)
+        dt, dq = compose(iot, ioq, np.asarray(c.rel_t), np.asarray(c.rel_q))
+        if (np.linalg.norm(dt) > outlier_threshold_meters
+                or abs(nquat.angle(dq)) > outlier_threshold_radians):
+            continue
+        relations.append(GroundTruthRelation(
+            time1=node1.time, time2=node2.time,
+            expected_translation=np.asarray(rel_t, float),
+            expected_rotation=np.asarray(rel_q, float),
+            covered_distance=covered))
+    return relations
+
+
 @dataclasses.dataclass
 class RelationMetrics:
     abs_translational_error_mean: float

@@ -422,12 +422,12 @@ def load_carto_state(reader: ProtoStreamReader, pose_graph,
                 submap = Submap3D(
                     local_pose_translation=lt, local_pose_rotation=lq,
                     num_range_data=body.get("num_range_data", 0),
-                    insertion_finished=body.get("finished", False),
+                    insertion_finished=body.get("finished", version == 1),
                     high_grid=high, low_grid=low,
                     histogram=hist if len(hist) else None)
                 pose_graph.submap_data.insert(SubmapId(nt, i), SubmapDataEntry3D(
                     submap=submap, global_t=gp[0], global_q=gp[1],
-                    finished=body.get("finished", False)))
+                    finished=body.get("finished", version == 1)))
             elif not is_3d and "submap_2d" in sm:
                 from cartographer_tpu.mapping.pose_graph_2d import SubmapDataEntry
                 from cartographer_tpu.mapping.submap_2d import Submap2D
@@ -523,7 +523,48 @@ def load_carto_state(reader: ProtoStreamReader, pose_graph,
                 translation_weight=c.get("translation_weight", 0.0),
                 rotation_weight=c.get("rotation_weight", 0.0), tag=tag))
 
+    # Rebuild submap->node membership from INTRA constraints
+    # (map_builder.cc LoadState AddNodeToSubmap, :371-392).
+    for c in pose_graph.constraints:
+        if c.tag == "INTRA_SUBMAP":
+            entry = pose_graph.submap_data.get(c.submap_id)
+            if entry is not None:
+                entry.node_ids.add(c.node_id)
+
+    if version == 1 and is_3d:
+        migrate_v1_submap_histograms(pose_graph)
     if frozen:
         for t in set(remap.values()):
             pose_graph.freeze_trajectory(t)
     return remap
+
+
+def migrate_v1_submap_histograms(pose_graph) -> None:
+    """Format-version 1 -> 2: v1 3D submaps carry no rotational histograms;
+    rebuild them by rotating each INTRA-constrained node's gravity-frame
+    histogram into the submap frame and accumulating
+    (io/serialization_format_migration.cc MigrateSubmapFormatVersion1ToVersion2)."""
+    from cartographer_tpu.ops.rot_histogram import rotate_histogram
+    from cartographer_tpu.transform import nquat
+
+    for c in pose_graph.constraints:
+        if c.tag != "INTRA_SUBMAP":
+            continue
+        entry = pose_graph.submap_data.get(c.submap_id)
+        node = pose_graph.nodes.get(c.node_id)
+        if entry is None or node is None:
+            continue
+        hist = np.asarray(node.scan_histogram, np.float32)
+        if hist.size == 0:
+            continue
+        submap = entry.submap
+        # yaw of submap_local_pose^-1 * node_local_pose * gravity^-1.
+        q = nquat.multiply(
+            nquat.multiply(nquat.conjugate(submap.local_pose_rotation),
+                           node.local_pose_rotation),
+            nquat.conjugate(node.gravity_alignment))
+        rotated = np.asarray(rotate_histogram(hist, nquat.get_yaw(q)))
+        if submap.histogram is None or len(np.asarray(submap.histogram)) == 0:
+            submap.histogram = rotated.copy()
+        else:
+            submap.histogram = np.asarray(submap.histogram) + rotated

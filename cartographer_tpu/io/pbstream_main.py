@@ -54,10 +54,43 @@ def info(path: str, verbose: bool = False) -> int:
     return 0
 
 
+def _migrate_carto(src: str, dst: str) -> int:
+    """Migrate a reference-schema pbstream: load (v1 streams get the
+    submap-histogram redistribution of serialization_format_migration.cc
+    applied by load_carto_state) and rewrite at the current version."""
+    from cartographer_tpu.core.config import MapBuilderOptions
+    from cartographer_tpu.io import carto_protos as cp
+    from cartographer_tpu.io.proto_wire import decode_message
+    from cartographer_tpu.mapping.map_builder import MapBuilder
+
+    reader = ProtoStreamReader(src)
+    records = list(reader)
+    reader.close()
+    header = decode_message(cp.SERIALIZATION_HEADER, records[0])
+    version = header.get("format_version", 0)
+    # Sniff 2D vs 3D from the first submap payload.
+    is_3d = False
+    for rec in records[1:]:
+        msg = decode_message(cp.SERIALIZED_DATA, rec)
+        if "submap" in msg:
+            is_3d = "submap_3d" in msg["submap"]
+            break
+    mb = MapBuilder(MapBuilderOptions(
+        use_trajectory_builder_2d=not is_3d, use_trajectory_builder_3d=is_3d))
+    mb.load_state(src, load_frozen_state=False)
+    mb.serialize_state(dst, include_unfinished_submaps=True, format="carto")
+    print(f"migrated carto v{version} -> v2: {dst}")
+    return 0
+
+
 def migrate(src: str, dst: str) -> int:
     reader = ProtoStreamReader(src)
-    records = [msgpack.unpackb(r, raw=False) for r in reader]
+    raw_records = list(reader)
     reader.close()
+    from cartographer_tpu.io.carto_pbstream import is_carto_stream
+    if raw_records and is_carto_stream(raw_records[0]):
+        return _migrate_carto(src, dst)
+    records = [msgpack.unpackb(r, raw=False) for r in raw_records]
     if not records or records[0].get("type") != "header":
         print("not a cartographer_tpu pbstream", file=sys.stderr)
         return 1

@@ -295,6 +295,11 @@ def _load_state_3d(records, pose_graph, trajectory_remapping, frozen):
             rel_t=np.asarray(c["rel_t"]), rel_q=np.asarray(c["rel_q"]),
             translation_weight=c["translation_weight"],
             rotation_weight=c["rotation_weight"], tag=c["tag"]))
+    for c in pose_graph.constraints:
+        if c.tag == "INTRA_SUBMAP":
+            entry = pose_graph.submap_data.get(c.submap_id)
+            if entry is not None:
+                entry.node_ids.add(c.node_id)
     if frozen:
         for t in set(remap.values()):
             pose_graph.freeze_trajectory(t)
@@ -388,6 +393,14 @@ def load_state(reader: ProtoStreamReader, pose_graph,
             translation_weight=c["translation_weight"],
             rotation_weight=c["rotation_weight"],
             tag=c["tag"]))
+
+    # Rebuild submap->node membership from INTRA constraints
+    # (map_builder.cc LoadState AddNodeToSubmap, :371-392).
+    for c in pose_graph.constraints:
+        if c.tag == "INTRA_SUBMAP":
+            entry = pose_graph.submap_data.get(c.submap_id)
+            if entry is not None:
+                entry.node_ids.add(c.node_id)
 
     if frozen:
         for t in set(remap.values()):

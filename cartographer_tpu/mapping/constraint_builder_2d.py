@@ -55,6 +55,17 @@ def _match_impl(pyramid, grid, points, mask, init_vec, window,
 
 
 @lru_cache(maxsize=None)
+def _refined_match_fn(gn_params):
+    """GN refine of a BnB pose (the exact-global path's second stage)."""
+    def refine(grid, pts, mask, pose_vec):
+        refined, cost = gauss_newton_match_2d(
+            grid, pts, mask, Rigid2.from_vector(pose_vec), gn_params)
+        return refined.to_vector(), cost
+
+    return jax.jit(refine)
+
+
+@lru_cache(maxsize=None)
 def _batched_match_fn(bnb_params, gn_params, window, mesh):
     """Process-wide jitted batched matcher: BnB + GN refine vmapped over the
     pairs axis, sharded over `mesh` when given. Shared across ALL
@@ -236,12 +247,50 @@ class ConstraintBuilder2D:
         for r in requests:
             if len(r.points) == 0:
                 continue
+            if r.match_full:
+                # Global localization uses the EXACT (certified iterative
+                # widening) matcher — a missed global constraint is
+                # unrecoverable, so the reference's exact-DFS semantics are
+                # preserved here (fast_correlative_scan_matcher_2d.cc:210).
+                c = self._compute_global_exact(r)
+                if c is not None:
+                    constraints.append(c)
+                continue
             groups.setdefault((r.match_full, r.grid.size), []).append(r)
         for (full, _size), group in groups.items():
             for i in range(0, len(group), _MAX_CHUNK):
                 constraints.extend(
                     self._compute_chunk(group[i:i + _MAX_CHUNK], full))
         return constraints
+
+    def _compute_global_exact(self, r: MatchRequest) -> Optional[Constraint]:
+        from cartographer_tpu.ops.bnb_2d import match_full_submap_exact
+
+        pyramid, grid = self._matcher_for(r.submap_id, r.grid)
+        pts_cap = 1 << math.ceil(math.log2(max(len(r.points), 16)))
+        pts = np.zeros((pts_cap, 2), np.float32)
+        pts[: len(r.points)] = r.points[:pts_cap]
+        mask = np.zeros(pts_cap, bool)
+        mask[: len(r.points)] = True
+        min_score = self._options.global_localization_min_score
+        found, score, pose, _cert = match_full_submap_exact(
+            pyramid, grid, jnp.asarray(pts), jnp.asarray(mask),
+            self._bnb_params, min_score)
+        self.score_histogram.add(score)
+        self._metric_scores_global.observe(score)
+        if score < min_score:
+            return None
+        refined, _ = _refined_match_fn(self._gn_params)(
+            grid, jnp.asarray(pts), jnp.asarray(mask), pose.to_vector())
+        rel = np.asarray(refined, np.float64)
+        if not np.all(np.isfinite(rel)):
+            return None
+        self._metric_found_global.increment()
+        return Constraint(
+            submap_id=r.submap_id, node_id=r.node_id, rel=rel,
+            translation_weight=self._options.loop_closure_translation_weight,
+            rotation_weight=self._options.loop_closure_rotation_weight,
+            tag="INTER_SUBMAP", score=score)
 
     def _compute_chunk(self, group: List[MatchRequest], full: bool
                        ) -> List[Constraint]:

@@ -102,6 +102,80 @@ _TRANSFORM_RD_FN = jax.jit(
     lambda rd, pose_vec: rd.transform(Rigid2.from_vector(pose_vec)))
 
 
+def _q_from_yaw(yaw):
+    half = 0.5 * yaw
+    return jnp.stack([jnp.cos(half), jnp.zeros_like(half),
+                      jnp.zeros_like(half), jnp.sin(half)])
+
+
+def _q_mul(a, b):
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return jnp.stack([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw])
+
+
+@lru_cache(maxsize=None)
+def _fused_step_cached(pre_params: ScanPreprocessParams2D, avf, corr_params,
+                       gn_params, use_correlative, use_tsdf, matcher_capacity,
+                       lc, lc_capacity, insert_key, mf_key):
+    """ONE jitted device program per scan (VERDICT r2 item 5): unwarp +
+    gravity-align + voxel filter + (optional) correlative + GN match +
+    motion-filter decision + conditional dual-submap raycast insertion.
+    The host dispatches once and fetches one packed result — over a tunneled
+    chip the per-scan cost is a single round-trip instead of 3-6.
+
+    Process-wide cache keyed by the (hashable) options so concurrent
+    trajectories share the compiled program."""
+    from cartographer_tpu.mapping.submap_2d import insert_body_cached
+
+    insert_body = insert_body_cached(*insert_key)
+    match_body = _match_fn_cached(avf, corr_params, gn_params, use_correlative,
+                                  use_tsdf, matcher_capacity, lc, lc_capacity)
+    max_time_s, max_dist, max_angle = mf_key
+
+    def step(grids, active, points, t01, mask, origins,
+             pose_start: Rigid3, pose_end: Rigid3, gravity_q, pred2d_vec,
+             has_grid, mf_last_t, mf_last_q, mf_dt_s, mf_first, seed):
+        rd_aligned, _ = preprocess_scan_2d(
+            points, t01, mask, origins, pose_start, pose_end, gravity_q,
+            seed=seed, params=pre_params)
+        grid0 = jax.tree_util.tree_map(lambda x: x[0], grids)
+        pose_vec_m, cost, lc_cloud = match_body(
+            grid0, rd_aligned.returns, pred2d_vec, seed)
+        finite = jnp.all(jnp.isfinite(pose_vec_m)) & has_grid
+        pose_vec = jnp.where(finite, pose_vec_m, pred2d_vec)
+
+        # Motion filter on device (motion_filter.cc IsSimilar): keep when
+        # enough time passed, moved far enough, or rotated far enough.
+        est_q = _q_mul(_q_from_yaw(pose_vec[2]), gravity_q)
+        est_q = est_q / jnp.linalg.norm(est_q)
+        est_t = jnp.array([pose_vec[0], pose_vec[1], 0.0])
+        dist = jnp.linalg.norm(est_t - mf_last_t)
+        dangle = 2.0 * jnp.arccos(
+            jnp.clip(jnp.abs(jnp.sum(est_q * mf_last_q)), 0.0, 1.0))
+        moved = (mf_first | (mf_dt_s > max_time_s) | (dist > max_dist)
+                 | (dangle > max_angle))
+        ok = finite | ~has_grid  # first scan (no grid) still inserts
+        do_insert = moved & ok
+
+        rd_local = rd_aligned.transform(Rigid2.from_vector(pose_vec))
+        new_grids = insert_body(grids, rd_local, active)
+        grids_out = jax.tree_util.tree_map(
+            lambda o, n: jnp.where(do_insert, n, o), grids, new_grids)
+        packed = jnp.concatenate([
+            pose_vec.astype(jnp.float32), est_q.astype(jnp.float32),
+            jnp.stack([cost.astype(jnp.float32),
+                       do_insert.astype(jnp.float32),
+                       ok.astype(jnp.float32)])])
+        return grids_out, packed, lc_cloud, rd_local
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
 @dataclasses.dataclass
 class InsertionResult:
     """Node data + the submaps it was inserted into (trajectory_builder_interface.h)."""
@@ -160,12 +234,21 @@ class LocalTrajectoryBuilder2D:
 
         use_tsdf = options.submaps.grid_type == "TSDF"
 
-        self._match_fn = _match_fn_cached(
-            avf, corr_params, gn_params, use_correlative, use_tsdf,
+        from cartographer_tpu.mapping.submap_2d import insert_body_key
+        mf = options.motion_filter
+        self._fused_fn = _fused_step_cached(
+            pre_params, avf, corr_params, gn_params, use_correlative, use_tsdf,
             options.tpu.matcher_capacity,
             options.loop_closure_adaptive_voxel_filter,
-            options.tpu.loop_closure_capacity)
+            options.tpu.loop_closure_capacity,
+            insert_body_key(options.submaps, options.tpu),
+            (mf.max_time_seconds, mf.max_distance_meters,
+             mf.max_angle_radians))
         self._transform_rd_fn = _TRANSFORM_RD_FN
+        # Device-interaction accounting (VERDICT r2 item 5): one fused
+        # dispatch + one batched fetch per scan.
+        self.device_fetches = 0
+        self._mf_last = None
 
         # Metrics (RegisterMetrics, local_trajectory_builder_2d.cc:334-368).
         from cartographer_tpu import metrics as m
@@ -262,47 +345,71 @@ class LocalTrajectoryBuilder2D:
         origins = np.zeros((capacity, 3), np.float32)
         origins[:npts] = data.per_point_origins(3)[:npts]
 
-        rd_aligned, _ = self._preprocess_fn(
-            jnp.asarray(points), jnp.asarray(t01), jnp.asarray(mask),
-            jnp.asarray(origins),
-            Rigid3(jnp.asarray(pose_start[0], jnp.float32), jnp.asarray(pose_start[1], jnp.float32)),
-            Rigid3(jnp.asarray(pose_end[0], jnp.float32), jnp.asarray(pose_end[1], jnp.float32)),
-            jnp.asarray(gravity_q, jnp.float32),
-            seed=self._next_seed())
-
         # Scan matching against the matching (oldest active) submap.
         pred_t, pred_q = pose_end
         pred_2d_rigid = _project_2d_host(pred_t, pred_q, gravity_q)
 
-        matching_grid = self._active_submaps.matching_grid
-        if matching_grid is None:
-            pose_2d = pred_2d_rigid
-            filtered = rd_aligned.returns
-        else:
-            pose_vec, cost, filtered = self._match_fn(
-                matching_grid, rd_aligned.returns,
-                jnp.asarray(pose_2d_to_vec(pred_2d_rigid), jnp.float32),
-                self._next_seed())
-            pose_2d = np.asarray(pose_vec, np.float64)
-            if not np.all(np.isfinite(pose_2d)):
-                return None
+        # Window management BEFORE the fused dispatch (counters are known
+        # from previous fetches); the blank grid centers at the predicted
+        # pose, which is the scan origin to within the matcher window.
+        had_grid = bool(self._active_submaps.submaps)
+        active = self._active_submaps.prepare(
+            np.asarray(pred_2d_rigid[:2], np.float32))
 
-        # pose_estimate = Embed3D(pose_2d) * gravity_alignment
-        # (local_trajectory_builder_2d.cc:93-99).
-        est_t, est_q = _embed_3d_host(pose_2d, gravity_q)
+        # Motion-filter state for the on-device decision.
+        if self._mf_last is None:
+            mf_t = np.zeros(3, np.float32)
+            mf_q = np.array([1, 0, 0, 0], np.float32)
+            mf_dt = np.float32(0.0)
+            mf_first = True
+        else:
+            lt, mf_t, mf_q = self._mf_last
+            mf_dt = np.float32((data.time - lt) * 1e-6)
+            mf_first = False
+
+        # ONE device program + ONE batched fetch per scan.
+        grids, packed, lc_cloud, rd_local = self._fused_fn(
+            self._active_submaps.grids, active,
+            jnp.asarray(points), jnp.asarray(t01), jnp.asarray(mask),
+            jnp.asarray(origins),
+            Rigid3(jnp.asarray(pose_start[0], jnp.float32),
+                   jnp.asarray(pose_start[1], jnp.float32)),
+            Rigid3(jnp.asarray(pose_end[0], jnp.float32),
+                   jnp.asarray(pose_end[1], jnp.float32)),
+            jnp.asarray(gravity_q, jnp.float32),
+            jnp.asarray(pose_2d_to_vec(pred_2d_rigid), jnp.float32),
+            jnp.asarray(had_grid),
+            jnp.asarray(mf_t, jnp.float32), jnp.asarray(mf_q, jnp.float32),
+            mf_dt, jnp.asarray(mf_first),
+            self._next_seed())
+        self._active_submaps.set_grids(grids)
+        self.device_fetches += 1
+        packed, lc_points, lc_mask = jax.device_get(
+            (packed, lc_cloud.points, lc_cloud.mask))
+        pose_2d = np.asarray(packed[:3], np.float64)
+        est_q = np.asarray(packed[3:7], np.float64)
+        inserted = bool(packed[8] > 0.5)
+        ok = bool(packed[9] > 0.5)
+        if not ok and had_grid:
+            # Non-finite match: drop the scan (insertion was suppressed on
+            # device too).
+            self._active_submaps.commit(False)
+            return None
+        est_t = np.array([pose_2d[0], pose_2d[1], 0.0])
         self._extrapolator.add_pose(data.time, est_t, est_q)
 
-        rd_local = self._transform_rd_fn(rd_aligned, jnp.asarray(pose_2d, jnp.float32))
-
         insertion_result = None
-        if not self._motion_filter.is_similar(data.time, est_t, est_q):
-            origin_xy = np.asarray(rd_local.origin)
-            finished = self._active_submaps.insert_range_data(rd_local, origin_xy)
+        finished = self._active_submaps.commit(inserted)
+        if inserted:
+            self._mf_last = (data.time, est_t.astype(np.float32),
+                             est_q.astype(np.float32))
+            filtered = PointCloud(
+                points=lc_points, mask=lc_mask,
+                intensities=np.zeros(lc_points.shape[0], np.float32))
             insertion_result = InsertionResult(
                 time=data.time,
                 gravity_alignment=gravity_q,
-                filtered_gravity_aligned_point_cloud=(
-                    filtered if matching_grid is not None else rd_aligned.returns),
+                filtered_gravity_aligned_point_cloud=filtered,
                 local_pose_translation=est_t,
                 local_pose_rotation=est_q,
                 insertion_submaps=list(self._active_submaps.submaps),

@@ -38,7 +38,7 @@ class Submap2D:
     grid: Optional[Grid2D] = None  # set on finish (device or host snapshot)
 
 
-def _make_insert_fn(hit_probability, miss_probability, insert_free_space, ray_samples):
+def _make_insert_body(hit_probability, miss_probability, insert_free_space, ray_samples):
     def insert_one(grid: Grid2D, rd: RangeData, active: jnp.ndarray) -> Grid2D:
         new = insert_range_data(
             grid, rd,
@@ -53,7 +53,46 @@ def _make_insert_fn(hit_probability, miss_probability, insert_free_space, ray_sa
     def insert_both(grids: Grid2D, rd: RangeData, active: jnp.ndarray) -> Grid2D:
         return jax.vmap(insert_one, in_axes=(0, None, 0))(grids, rd, active)
 
-    return jax.jit(insert_both, donate_argnums=(0,))
+    return insert_both
+
+
+def insert_body_key(options: SubmapsOptions2D, tpu: TpuOptions2D) -> tuple:
+    """Hashable key identifying the batched-insert body for a config (shared
+    jit/fusion cache across builders and the fused scan program)."""
+    if options.grid_type == "TSDF":
+        t = options.tsdf_range_data_inserter
+        return ("TSDF", (t.update_weight_range_exponent,
+                         t.update_weight_angle_scan_normal_to_ray_kernel_bandwidth,
+                         t.update_weight_distance_cell_to_hit_kernel_bandwidth,
+                         t.project_sdf_distance_to_scan_normal))
+    ins = options.probability_grid_range_data_inserter
+    return ("PROBABILITY_GRID", (ins.hit_probability, ins.miss_probability,
+                                 ins.insert_free_space, tpu.ray_samples))
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def insert_body_cached(grid_type: str, params: tuple):
+    """Unjitted batched (2-slot) insert body for `insert_body_key` keys."""
+    if grid_type == "TSDF":
+        from cartographer_tpu.ops.tsdf_2d import insert_range_data_tsdf
+
+        (range_exp, angle_bw, dist_bw, project_normal) = params
+
+        def insert_one(grid, rd, active):
+            new = insert_range_data_tsdf(
+                grid, rd,
+                update_weight_range_exponent=range_exp,
+                angle_kernel_bandwidth=angle_bw,
+                distance_kernel_bandwidth=dist_bw,
+                project_to_normal=project_normal)
+            return jax.tree_util.tree_map(
+                lambda old, upd: jnp.where(active, upd, old), grid, new)
+
+        return jax.vmap(insert_one, in_axes=(0, None, 0))
+    return _make_insert_body(*params)
 
 
 class ActiveSubmaps2D:
@@ -67,30 +106,8 @@ class ActiveSubmaps2D:
         self._tpu = tpu
         self.submaps: List[Submap2D] = []
         self._grids: Optional[Grid2D] = None  # batched (2, S, S)
-        if options.grid_type == "TSDF":
-            from cartographer_tpu.ops.tsdf_2d import insert_range_data_tsdf
-
-            tsdf = options.tsdf_range_data_inserter
-
-            def insert_one(grid, rd, active):
-                new = insert_range_data_tsdf(
-                    grid, rd,
-                    update_weight_range_exponent=tsdf.update_weight_range_exponent,
-                    angle_kernel_bandwidth=(
-                        tsdf.update_weight_angle_scan_normal_to_ray_kernel_bandwidth),
-                    distance_kernel_bandwidth=(
-                        tsdf.update_weight_distance_cell_to_hit_kernel_bandwidth),
-                    project_to_normal=tsdf.project_sdf_distance_to_scan_normal)
-                return jax.tree_util.tree_map(
-                    lambda old, upd: jnp.where(active, upd, old), grid, new)
-
-            self._insert_fn = jax.jit(
-                jax.vmap(insert_one, in_axes=(0, None, 0)), donate_argnums=(0,))
-        else:
-            ins = options.probability_grid_range_data_inserter
-            self._insert_fn = _make_insert_fn(
-                ins.hit_probability, ins.miss_probability, ins.insert_free_space,
-                tpu.ray_samples)
+        self._insert_body = insert_body_cached(*insert_body_key(options, tpu))
+        self._insert_fn = jax.jit(self._insert_body, donate_argnums=(0,))
 
     def _blank_grid(self, center_xy: np.ndarray):
         if self._options.grid_type == "TSDF":
@@ -122,22 +139,24 @@ class ActiveSubmaps2D:
     def _grid_at(self, slot: int) -> Grid2D:
         return jax.tree_util.tree_map(lambda x: x[slot], self._grids)
 
-    def insert_range_data(self, range_data_2d: RangeData,
-                          origin_xy: np.ndarray) -> List[Submap2D]:
-        """Insert a gravity-aligned local-frame scan; returns finished submaps.
-
-        Mirrors ActiveSubmaps2D::InsertRangeData (submap_2d.cc): rotate the
-        window when the newest submap has seen num_range_data scans; finish
-        the oldest at 2 * num_range_data.
-        """
-        finished: List[Submap2D] = []
+    def prepare(self, origin_xy: np.ndarray) -> jnp.ndarray:
+        """Window management BEFORE an insertion: rotate/create submaps per
+        the counters (submap_2d.cc InsertRangeData's AddSubmap branch) and
+        return the active-slot mask. Split from the insertion itself so the
+        fused per-scan device program can perform the (conditional) insert
+        with zero extra host round-trips."""
         if not self.submaps or (
                 self.submaps[-1].num_range_data == self._options.num_range_data):
             self._add_submap(origin_xy)
+        return jnp.asarray([True, len(self.submaps) > 1], dtype=bool)
 
-        active = jnp.asarray(
-            [True, len(self.submaps) > 1], dtype=bool)
-        self._grids = self._insert_fn(self._grids, range_data_2d, active)
+    def commit(self, inserted: bool) -> List[Submap2D]:
+        """Counter bookkeeping AFTER a (possibly skipped) fused insertion;
+        returns newly finished submaps. The caller has already stored the
+        program's returned grids via `set_grids`."""
+        finished: List[Submap2D] = []
+        if not inserted:
+            return finished
         for submap in self.submaps:
             submap.num_range_data += 1
         # Finish (snapshot) the matching submap at 2N scans; it stays in the
@@ -150,6 +169,29 @@ class ActiveSubmaps2D:
             front.grid = self._grid_at(0)
             finished.append(front)
         return finished
+
+    @property
+    def grids(self):
+        return self._grids
+
+    def set_grids(self, grids) -> None:
+        self._grids = grids
+
+    @property
+    def insert_fn(self):
+        return self._insert_fn
+
+    def insert_range_data(self, range_data_2d: RangeData,
+                          origin_xy: np.ndarray) -> List[Submap2D]:
+        """Insert a gravity-aligned local-frame scan; returns finished submaps.
+
+        Mirrors ActiveSubmaps2D::InsertRangeData (submap_2d.cc): rotate the
+        window when the newest submap has seen num_range_data scans; finish
+        the oldest at 2 * num_range_data.
+        """
+        active = self.prepare(origin_xy)
+        self._grids = self._insert_fn(self._grids, range_data_2d, active)
+        return self.commit(True)
 
     def _add_submap(self, origin_xy: np.ndarray) -> None:
         """Start a new submap at `origin_xy`; evicts the (finished) oldest."""

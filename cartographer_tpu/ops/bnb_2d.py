@@ -94,8 +94,16 @@ def fast_correlative_match_2d(
     params: FastCorrelativeMatcherParams2D,
     min_score: float,
     linear_window_override: float = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, Rigid2]:
-    """Returns (found, score, pose). `found` is score > min_score.
+    with_certificate: bool = False,
+):
+    """Returns (found, score, pose) — and, `with_certificate`, also
+    `certified`: True when the result is PROVABLY the exact optimum.
+
+    Certificate: every candidate the beam ever dropped had an admissible
+    upper bound; if the best leaf score found is >= the maximum dropped
+    bound (and >= min_score prunes), no dropped subtree can contain a
+    better leaf — the beam search equals the reference's exact DFS
+    (fast_correlative_scan_matcher_2d.cc:335-378) on this input.
 
     `linear_window_override` widens the window (MatchFullSubmap uses ~half
     the submap extent, fast_correlative_scan_matcher_2d.cc:210-225).
@@ -137,14 +145,20 @@ def fast_correlative_match_2d(
     cand = beam * 4
     k0 = min(cand, scores.shape[0])
     top_scores, top_idx = jax.lax.top_k(scores, k0)
+    # Max admissible bound among candidates the truncation drops here.
+    if k0 < scores.shape[0]:
+        dropped_max = jax.lax.top_k(scores, k0 + 1)[0][-1]
+    else:
+        dropped_max = jnp.float32(-jnp.inf)
     a_idx = jnp.pad(a_idx[top_idx], (0, cand - k0))
     ox = jnp.pad(ox[top_idx], (0, cand - k0))
     oy = jnp.pad(oy[top_idx], (0, cand - k0))
     scores = jnp.pad(top_scores, (0, cand - k0), constant_values=-jnp.inf)
 
     def level_step(carry, h):
-        a_idx, ox, oy, scores = carry
+        a_idx, ox, oy, scores, dropped = carry
         top_scores, top_idx = jax.lax.top_k(scores, beam)
+        dropped = jnp.maximum(dropped, jax.lax.top_k(scores, beam + 1)[0][-1])
         a_sel = a_idx[top_idx]
         ox_sel = ox[top_idx]
         oy_sel = oy[top_idx]
@@ -156,11 +170,11 @@ def fast_correlative_match_2d(
         level = pyramid[h]
         s_new = _score_candidates(level, base_cells, a_new, ox_new, oy_new, mask, size)
         s_new = jnp.where(parent_alive, s_new, -jnp.inf)
-        return (a_new, ox_new, oy_new, s_new), None
+        return (a_new, ox_new, oy_new, s_new, dropped), None
 
     hs = jnp.arange(depth - 2, -1, -1)
-    (a_idx, ox, oy, scores), _ = jax.lax.scan(
-        level_step, (a_idx, ox, oy, scores), hs)
+    (a_idx, ox, oy, scores, dropped_max), _ = jax.lax.scan(
+        level_step, (a_idx, ox, oy, scores, dropped_max), hs)
 
     best = jnp.argmax(scores)
     best_score = scores[best]
@@ -170,4 +184,51 @@ def fast_correlative_match_2d(
         + jnp.stack([ox[best].astype(jnp.float32), oy[best].astype(jnp.float32)]) * res,
         initial_pose.rotation + deltas[a_idx[best]],
     )
+    if with_certificate:
+        # Exact iff nothing better can hide under a dropped bound (dropped
+        # subtrees below min_score are pruned by the reference's DFS too).
+        certified = (best_score >= dropped_max) | (dropped_max <= min_score)
+        return found, best_score, pose, certified
     return found, best_score, pose
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _certified_match_fn(params: FastCorrelativeMatcherParams2D,
+                        min_score: float, window):
+    return jax.jit(lambda pyr, grid, pts, msk, init_vec: fast_correlative_match_2d(
+        pyr, grid, pts, msk, Rigid2.from_vector(init_vec), params, min_score,
+        linear_window_override=window, with_certificate=True))
+
+
+def match_full_submap_exact(
+    pyramid: jnp.ndarray,
+    grid: Grid2D,
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    params: FastCorrelativeMatcherParams2D,
+    min_score: float,
+    max_beam: int = 65536,
+):
+    """Exact MatchFullSubmap by iterative beam widening: rerun the
+    level-synchronous search with a doubled beam until the optimality
+    certificate holds (or `max_beam`), making global localization
+    exact-DFS-equivalent (fast_correlative_scan_matcher_2d.cc:210-225).
+    Returns (found, score, pose, certified) as host values."""
+    import numpy as np
+
+    size = grid.size
+    res = grid.resolution
+    window = 0.5 * size * res * 0.7
+    center = np.asarray(grid.origin) + 0.5 * size * res
+    init_vec = jnp.asarray([center[0], center[1], 0.0], jnp.float32)
+    beam = params.beam_width
+    while True:
+        p = dataclasses.replace(params, beam_width=beam)
+        found, score, pose, cert = _certified_match_fn(p, min_score, window)(
+            pyramid, grid, points, mask, init_vec)
+        if bool(cert) or beam >= max_beam:
+            return bool(found), float(score), pose, bool(cert)
+        beam *= 2

@@ -164,16 +164,10 @@ def real_time_correlative_match(
     deltas, angle_valid, base_cells = _candidate_geometry(
         grid, points, mask, initial_pose, params)
 
-    if method == "pallas":
-        from cartographer_tpu.ops.pallas_correlative import pallas_correlative_scores
-
-        padded = jnp.pad(prob, nl)
-        raw_sum, inb_count = pallas_correlative_scores(
-            padded, base_cells, mask, nl)
-        num_valid = jnp.maximum(jnp.sum(mask), 1).astype(jnp.float32)
-        oob = num_valid - inb_count
-        raw = (raw_sum + (UNKNOWN_PROBABILITY * oob)[:, None, None]) / num_valid
-    elif method == "mxu":
+    # (A hand-written Pallas VMEM-resident variant of the count-image
+    # kernel was measured at 2.14 ms/call vs 0.77 ms for this XLA
+    # formulation on v5e — XLA's fusion wins; the kernel was removed.)
+    if method == "mxu":
         raw = _scores_mxu(grid, prob, base_cells, mask, nl, params.angle_chunk)
     else:
         raw = _scores_gather(grid, prob, base_cells, mask, nl)

@@ -392,24 +392,29 @@ def solve_spa_2d_schur(
                 [problem.submap_poses, jnp.zeros((Sp - S0, 3))]),
             submap_fixed=jnp.concatenate(
                 [problem.submap_fixed, jnp.ones(Sp - S0, bool)]))
-    wmax = float(max(
-        np.max(np.where(np.asarray(problem.valid),
-                        np.asarray(problem.trans_weight), 0.0), initial=0.0),
-        np.max(np.where(np.asarray(problem.valid),
-                        np.asarray(problem.rot_weight), 0.0), initial=0.0),
-        np.max(np.where(np.asarray(problem.nn_valid),
-                        np.asarray(problem.nn_trans_weight), 0.0), initial=0.0),
-        np.max(np.where(np.asarray(problem.nn_valid),
-                        np.asarray(problem.nn_rot_weight), 0.0), initial=0.0),
-        1e-12))
-    problem = dataclasses.replace(
-        problem,
-        trans_weight=problem.trans_weight / wmax,
-        rot_weight=problem.rot_weight / wmax,
-        nn_trans_weight=problem.nn_trans_weight / wmax,
-        nn_rot_weight=problem.nn_rot_weight / wmax,
-        u_trans_weight=problem.u_trans_weight / wmax,
-        u_rot_weight=problem.u_rot_weight / wmax)
+    try:
+        wmax = float(max(
+            np.max(np.where(np.asarray(problem.valid),
+                            np.asarray(problem.trans_weight), 0.0), initial=0.0),
+            np.max(np.where(np.asarray(problem.valid),
+                            np.asarray(problem.rot_weight), 0.0), initial=0.0),
+            np.max(np.where(np.asarray(problem.nn_valid),
+                            np.asarray(problem.nn_trans_weight), 0.0), initial=0.0),
+            np.max(np.where(np.asarray(problem.nn_valid),
+                            np.asarray(problem.nn_rot_weight), 0.0), initial=0.0),
+            1e-12))
+        problem = dataclasses.replace(
+            problem,
+            trans_weight=problem.trans_weight / wmax,
+            rot_weight=problem.rot_weight / wmax,
+            nn_trans_weight=problem.nn_trans_weight / wmax,
+            nn_rot_weight=problem.nn_rot_weight / wmax,
+            u_trans_weight=problem.u_trans_weight / wmax,
+            u_rot_weight=problem.u_rot_weight / wmax)
+    except RuntimeError:
+        # Multi-host global arrays are not host-inspectable; the caller
+        # (parallel/multihost.py) pre-normalizes weights instead.
+        wmax = 1.0
     axis_key = axis if isinstance(axis, str) else tuple(axis)
     fn = _solver_fn(mesh, axis_key, int(num_iterations),
                     float(huber_scale), float(damping))

@@ -1,0 +1,177 @@
+"""Replay a reference-format .pbstream through this framework and score the
+result against the reference's own optimized trajectory (VERDICT r2 item 6:
+the real-data path — the moment a real Cartographer bag/pbstream is
+available, ATE-vs-reference is this one command).
+
+Pipeline:
+  1. Load the pbstream (reference proto schema via io/carto_pbstream.py, or
+     this package's native format) into a frozen pose graph.
+  2. Extract every trajectory node's stored point cloud + timestamp and the
+     reference-optimized global poses.
+  3. Autogenerate ground-truth relations from the loaded graph's
+     loop-closure constraints (ground_truth/autogenerate_ground_truth.cc
+     method) — the reference's own accuracy harness.
+  4. Replay the node clouds through a fresh MapBuilder (this framework's
+     full 2D pipeline: fused frontend + batched loop closure + Schur SPA).
+  5. Report ATE of our trajectory against the reference-optimized one
+     (Umeyama-aligned) and the relation metrics of our trajectory against
+     the reference-derived relations.
+
+Usage: python examples/eval_vs_reference.py state.pbstream [--cpu]
+       [--min-covered 50] [--scan-hz 10]
+Prints a JSON summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def umeyama_2d(src: np.ndarray, dst: np.ndarray):
+    """Least-squares rigid (no scale) alignment src -> dst, both (N, 2)."""
+    mu_s, mu_d = src.mean(0), dst.mean(0)
+    cov = (dst - mu_d).T @ (src - mu_s) / len(src)
+    u, _, vt = np.linalg.svd(cov)
+    d = np.sign(np.linalg.det(u @ vt))
+    R = u @ np.diag([1.0, d]) @ vt
+    t = mu_d - R @ mu_s
+    return R, t
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("pbstream")
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--min-covered", type=float, default=50.0,
+                        help="min covered distance for GT relations [m]")
+    parser.add_argument("--max-nodes", type=int, default=0,
+                        help="replay only the first N nodes (0 = all)")
+    parser.add_argument("--min-score", type=float, default=0.42,
+                        help="loop-closure acceptance score: replayed node "
+                             "clouds are the ~100-point loop-closure-filtered "
+                             "scans, which score lower against the equally "
+                             "sparse replay grids than raw scans do")
+    args = parser.parse_args()
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from cartographer_tpu.core.config import (
+        MapBuilderOptions,
+        TrajectoryBuilderOptions,
+        apply_overrides,
+    )
+    from cartographer_tpu.ground_truth import (
+        autogenerate_ground_truth,
+        compute_relations_metrics,
+    )
+    from cartographer_tpu.mapping.map_builder import MapBuilder
+    from cartographer_tpu.sensor.data import TimedPointCloudData
+    from cartographer_tpu.transform import nquat
+    from cartographer_tpu.transform.interpolation import (
+        TransformInterpolationBuffer,
+    )
+
+    # 1-2. Load the reference state.
+    ref_mb = MapBuilder(MapBuilderOptions(use_trajectory_builder_2d=True))
+    ref_mb.load_state(args.pbstream, load_frozen_state=True)
+    ref_pg = ref_mb.pose_graph
+    nodes = sorted(((tid, ni), n) for (tid, ni), n in ref_pg.nodes.items())
+    if args.max_nodes:
+        nodes = nodes[: args.max_nodes]
+    if not nodes:
+        raise SystemExit("no trajectory nodes in the stream")
+
+    # 3. Reference-derived ground-truth relations.
+    relations = autogenerate_ground_truth(
+        ref_pg, min_covered_distance=args.min_covered,
+        outlier_threshold_meters=0.15, outlier_threshold_radians=0.02)
+
+    # 4. Replay node clouds through a fresh pipeline. Node clouds are the
+    # loop-closure-filtered gravity-aligned scans the reference stored
+    # (~100-200 points); scan capacity and filters sized accordingly.
+    tb2 = apply_overrides(TrajectoryBuilderOptions().trajectory_builder_2d, {
+        "use_imu_data": False,
+        "use_online_correlative_scan_matching": True,
+        "max_range": 30.0,
+        "min_range": 0.0,
+        "voxel_filter_size": 0.025,
+        "submaps.num_range_data": 35,
+        "adaptive_voxel_filter.min_num_points": 100,
+        "adaptive_voxel_filter.max_length": 0.5,
+        "motion_filter.max_distance_meters": 0.05,
+        "motion_filter.max_angle_radians": math.radians(0.7),
+        "tpu.scan_capacity": 512,
+        "tpu.submap_grid_size": 512,
+        "real_time_correlative_scan_matcher.linear_search_window": 0.2,
+    })
+    traj = TrajectoryBuilderOptions(trajectory_builder_2d=tb2)
+    mb_opts = apply_overrides(MapBuilderOptions(use_trajectory_builder_2d=True), {
+        "pose_graph.optimize_every_n_nodes": 40,
+        # Replayed node clouds are the loop-closure-filtered ~100-point
+        # scans: sparser grids score lower than raw-scan grids, so the
+        # acceptance threshold comes down with them.
+        "pose_graph.constraint_builder.sampling_ratio": 1.0,
+        "pose_graph.constraint_builder.min_score": args.min_score,
+        "pose_graph.constraint_builder.max_constraint_distance": 15.0,
+    })
+    mb = MapBuilder(mb_opts)
+    tid = mb.add_trajectory_builder(["laser"], traj)
+    for (t_id, ni), node in nodes:
+        pts = np.asarray(node.filtered_points, np.float32)
+        if pts.size == 0:
+            continue
+        if pts.shape[1] == 2:
+            pts = np.concatenate(
+                [pts, np.zeros((len(pts), 1), np.float32)], axis=1)
+        mb.add_sensor_data(tid, "laser", TimedPointCloudData(
+            time=int(node.time), origin=np.zeros(3, np.float32),
+            ranges=pts, times=np.zeros(len(pts), np.float32)))
+    mb.finish_trajectory(tid)
+    mb.pose_graph.run_final_optimization()
+    pg = mb.pose_graph
+
+    # 5. Score.
+    ours, refs = [], []
+    buf = TransformInterpolationBuffer()
+    ref_by_time = {n.time: n for _, n in nodes}
+    for (t_id, ni), node in pg.nodes.items():
+        ref_node = ref_by_time.get(node.time)
+        if ref_node is None:
+            continue
+        ours.append(node.global_pose_2d[:2])
+        refs.append(ref_node.global_pose_2d[:2])
+        buf.push(node.time, np.array([*node.global_pose_2d[:2], 0.0]),
+                 nquat.from_yaw(node.global_pose_2d[2]))
+    ours = np.asarray(ours)
+    refs = np.asarray(refs)
+    R, t = umeyama_2d(ours, refs)
+    aligned = ours @ R.T + t
+    ate = np.linalg.norm(aligned - refs, axis=1)
+    rel = compute_relations_metrics(relations, buf)
+
+    print(json.dumps({
+        "pbstream": os.path.basename(args.pbstream),
+        "reference_nodes": len(nodes),
+        "replayed_nodes": len(pg.nodes),
+        "inter_constraints": pg.num_inter_constraints(),
+        "ate_vs_reference_mean_m": round(float(ate.mean()), 4),
+        "ate_vs_reference_max_m": round(float(ate.max()), 4),
+        "relation_abs_trans_err_m": round(rel.abs_translational_error_mean, 4),
+        "relation_abs_rot_err_deg": round(
+            math.degrees(rel.abs_rotational_error_mean), 4),
+        "num_relations": rel.num_relations,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -108,6 +108,10 @@ def main():
     # steps the frontend cannot track (>=500 needed for loop closure).
     parser.add_argument("--scans", type=int, default=700)
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--save-pbstream", default="",
+                        help="also serialize the optimized state (reference "
+                             "carto format) — feed it to "
+                             "examples/eval_vs_reference.py")
     args = parser.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -168,6 +172,8 @@ def main():
     mb.finish_trajectory(tid)
     mb.pose_graph.run_final_optimization()
     wall = time.perf_counter() - start
+    if args.save_pbstream:
+        mb.serialize_state(args.save_pbstream, format="carto")
 
     pg = mb.pose_graph
     # Ground truth into the SLAM frame: the map's local frame is anchored at
@@ -182,15 +188,41 @@ def main():
 
     errs = []
     buf = TransformInterpolationBuffer()
+    node_gi = []
     for (tt, ni), node in pg.nodes.items():
         gi = round((node.time - t0) / 100_000)
+        node_gi.append((node.time, gi))
         errs.append(np.linalg.norm(node.global_pose_2d[:2] - gt_local(gi)))
         buf.push(node.time, np.array([*node.global_pose_2d[:2], 0.0]),
                  nquat.from_yaw(node.global_pose_2d[2]))
-    relations = autogenerate_ground_truth(pg, min_covered_distance=10.0,
-                                          outlier_threshold_meters=0.3,
-                                          outlier_threshold_radians=0.05)
+
+    # Relation metric against SIMULATOR ground truth (scoring our trajectory
+    # against relations from a trusted source, as the reference harness
+    # does); the loop-closure-autogenerated path also runs for parity.
+    from cartographer_tpu.ground_truth import GroundTruthRelation
+    relations = []
+    rng2 = np.random.RandomState(1)
+    arc = np.concatenate([[0], np.cumsum([
+        np.linalg.norm(poses[k + 1][0] - poses[k][0])
+        for k in range(len(poses) - 1)])])
+    for _ in range(300):
+        a, b = rng2.randint(0, len(node_gi), 2)
+        (ta, ga), (tb2, gb) = node_gi[a], node_gi[b]
+        if abs(arc[ga] - arc[gb]) < 10.0:
+            continue
+        qa = nquat.from_yaw(poses[ga][1] - yaw0)
+        qb = nquat.from_yaw(poses[gb][1] - yaw0)
+        iqa = nquat.conjugate(qa)
+        d = gt_local(gb) - gt_local(ga)
+        relations.append(GroundTruthRelation(
+            time1=ta, time2=tb2,
+            expected_translation=nquat.rotate(iqa, np.array([d[0], d[1], 0.0])),
+            expected_rotation=nquat.multiply(iqa, qb),
+            covered_distance=abs(arc[ga] - arc[gb])))
     rel_metrics = compute_relations_metrics(relations, buf)
+    auto_relations = autogenerate_ground_truth(
+        pg, min_covered_distance=10.0, outlier_threshold_meters=0.3,
+        outlier_threshold_radians=0.05)
 
     print(json.dumps({
         "scans": len(poses),
@@ -201,6 +233,9 @@ def main():
         "ate_max_m": round(float(np.max(errs)), 4),
         "relations": rel_metrics.num_relations,
         "relation_trans_error_m": round(rel_metrics.abs_translational_error_mean, 4),
+        "relation_rot_error_deg": round(
+            math.degrees(rel_metrics.abs_rotational_error_mean), 4),
+        "autogenerated_relations": len(auto_relations),
         "wall_seconds": round(wall, 1),
         "scans_per_sec": round(len(poses) / wall, 1),
     }, indent=2))
