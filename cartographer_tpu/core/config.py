@@ -333,7 +333,13 @@ class OptimizationProblemOptions:
     log_solver_summary: bool = False
     use_online_imu_extrinsics_in_3d: bool = True
     fix_z_in_3d: bool = False
+    # ceres_solver_options surface (common/internal/ceres_solver_options.cc):
+    # max_num_iterations + use_nonmonotonic_steps drive the GN/LM solve;
+    # num_threads is accepted for config parity but the device batches the
+    # work instead of threading the solver.
     max_num_iterations: int = 50
+    use_nonmonotonic_steps: bool = False
+    num_threads: int = 7
 
 
 @dataclasses.dataclass(frozen=True)

@@ -350,10 +350,15 @@ def pose_graph_from_lua(d: Dict[str, Any]) -> cfg.PoseGraphOptions:
         op = d["optimization_problem"]
         new_op = _fill(opts.optimization_problem, op, skip=("ceres_solver_options",))
         if "ceres_solver_options" in op:
+            cso = op["ceres_solver_options"]
             new_op = dataclasses.replace(
-                new_op, max_num_iterations=int(
-                    op["ceres_solver_options"].get("max_num_iterations",
-                                                   new_op.max_num_iterations)))
+                new_op,
+                max_num_iterations=int(
+                    cso.get("max_num_iterations", new_op.max_num_iterations)),
+                use_nonmonotonic_steps=bool(
+                    cso.get("use_nonmonotonic_steps",
+                            new_op.use_nonmonotonic_steps)),
+                num_threads=int(cso.get("num_threads", new_op.num_threads)))
         opts = dataclasses.replace(opts, optimization_problem=new_op)
     return opts
 

@@ -77,8 +77,6 @@ def autogenerate_ground_truth(
             continue
         node1 = pose_graph.nodes[first_node_id]
         node2 = pose_graph.nodes[c.node_id]
-        # Relative pose from the optimized solution.
-        rel = _compose2d(_inverse2d(node1.global_pose_2d), node2.global_pose_2d)
         # Outlier gate (autogenerate_ground_truth.cc): the constraint-measured
         # node-in-submap pose must agree with the optimized solution.
         opt_node_in_submap = _compose2d(
@@ -87,10 +85,21 @@ def autogenerate_ground_truth(
         if (np.linalg.norm(diff[:2]) > outlier_threshold_meters
                 or abs(diff[2]) > outlier_threshold_radians):
             continue
+        # Relative FULL pose from the optimized solution: a node's rotation
+        # is Embed3D(theta) * gravity_alignment — theta alone is yaw in the
+        # gravity-aligned frame, not the heading (trajectory_node.h
+        # global_pose semantics).
+        q1 = nquat.normalize(nquat.multiply(
+            nquat.from_yaw(node1.global_pose_2d[2]), node1.gravity_alignment))
+        q2 = nquat.normalize(nquat.multiply(
+            nquat.from_yaw(node2.global_pose_2d[2]), node2.gravity_alignment))
+        d = np.array([node2.global_pose_2d[0] - node1.global_pose_2d[0],
+                      node2.global_pose_2d[1] - node1.global_pose_2d[1], 0.0])
+        iq1 = nquat.conjugate(q1)
         relations.append(GroundTruthRelation(
             time1=node1.time, time2=node2.time,
-            expected_translation=np.array([rel[0], rel[1], 0.0]),
-            expected_rotation=nquat.from_yaw(rel[2]),
+            expected_translation=nquat.rotate(iq1, d),
+            expected_rotation=nquat.normalize(nquat.multiply(iq1, q2)),
             covered_distance=covered))
     return relations
 

@@ -69,7 +69,6 @@ class OverlappingSubmapsTrimmer2D(PoseGraphTrimmer):
         num_submaps = len(pose_graph.submap_data)
         if num_submaps - self._current_submap_count <= self._min_added:
             return
-        self._current_submap_count = num_submaps
 
         # 1. Freshness: latest intra-constraint node time per submap.
         latest_node: dict = {}
@@ -134,5 +133,9 @@ class OverlappingSubmapsTrimmer2D(PoseGraphTrimmer):
                 covered_count[sid] = covered_count.get(sid, 0) + 1
         min_cells = int(self._min_area / resolution**2)
         keep = {sid for sid, n in covered_count.items() if n >= min_cells}
-        for sid in sorted(all_ids - keep):
+        to_trim = sorted(all_ids - keep)
+        # Reference: the counter reflects the post-trim size
+        # (overlapping_submaps_trimmer_2d.cc Trim).
+        self._current_submap_count = num_submaps - len(to_trim)
+        for sid in to_trim:
             pose_graph.trim_submap(sid)

@@ -193,8 +193,13 @@ def main():
         gi = round((node.time - t0) / 100_000)
         node_gi.append((node.time, gi))
         errs.append(np.linalg.norm(node.global_pose_2d[:2] - gt_local(gi)))
+        # Full node rotation = Embed3D(theta) * gravity_alignment: theta is
+        # yaw RELATIVE to the gravity-aligned frame (Project2D(pose * g^-1),
+        # local_trajectory_builder_2d.cc:93-99), not the robot heading.
         buf.push(node.time, np.array([*node.global_pose_2d[:2], 0.0]),
-                 nquat.from_yaw(node.global_pose_2d[2]))
+                 nquat.normalize(nquat.multiply(
+                     nquat.from_yaw(node.global_pose_2d[2]),
+                     node.gravity_alignment)))
 
     # Relation metric against SIMULATOR ground truth (scoring our trajectory
     # against relations from a trusted source, as the reference harness
