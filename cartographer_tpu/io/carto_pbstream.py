@@ -332,13 +332,18 @@ def write_carto_state(pose_graph, writer: ProtoStreamWriter,
 
     if is_3d:
         for tid, td in pose_graph.trajectory_data.items():
-            calib = np.asarray(td["imu_calibration"], np.float64)
-            writer.write(_pack_serialized("trajectory_data", {
+            calib = np.asarray(
+                td.get("imu_calibration", [1.0, 0, 0, 0]), np.float64)
+            msg = {
                 "trajectory_id": tid,
-                "gravity_constant": float(td["gravity_constant"]),
+                "gravity_constant": float(td.get("gravity_constant", 9.8)),
                 "imu_calibration": {"w": float(calib[0]), "x": float(calib[1]),
                                     "y": float(calib[2]), "z": float(calib[3])},
-            }))
+            }
+            if "fixed_frame_origin" in td:
+                o_t, o_q = td["fixed_frame_origin"]
+                msg["fixed_frame_origin_in_map"] = _rigid3d(o_t, o_q)
+            writer.write(_pack_serialized("trajectory_data", msg))
 
 
 # ------------------------------------------------------------------- reader
@@ -488,12 +493,16 @@ def load_carto_state(reader: ProtoStreamReader, pose_graph,
         elif "trajectory_data" in p and is_3d:
             td = p["trajectory_data"]
             calib = td.get("imu_calibration", {})
-            pose_graph.trajectory_data[map_traj(td.get("trajectory_id", 0))] = {
+            entry = {
                 "gravity_constant": td.get("gravity_constant", 9.8),
                 "imu_calibration": np.array([
                     calib.get("w", 1.0), calib.get("x", 0.0),
                     calib.get("y", 0.0), calib.get("z", 0.0)]),
             }
+            if "fixed_frame_origin_in_map" in td:
+                entry["fixed_frame_origin"] = _un_rigid3d(
+                    td["fixed_frame_origin_in_map"])
+            pose_graph.trajectory_data[map_traj(td.get("trajectory_id", 0))] = entry
 
     # Constraints last (both endpoints known).
     if is_3d:

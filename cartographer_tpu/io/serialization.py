@@ -97,6 +97,11 @@ def serialize_state(pose_graph, writer: ProtoStreamWriter,
         "node_poses": [
             {"id": [t, i], "pose": list(map(float, n.global_pose_2d))}
             for (t, i), n in pose_graph.nodes.items()],
+        # PoseGraph proto landmark_poses (pose_graph.proto:LandmarkPose).
+        "landmark_poses": {
+            lid: list(map(float, np.atleast_1d(p)))
+            for lid, p in pose_graph.landmark_poses.items()},
+        "frozen_landmarks": sorted(pose_graph._frozen_landmarks),
     }))
 
     writer.write(_pack({"type": "trajectory_builder_options", "options": {}}))
@@ -201,6 +206,10 @@ def _serialize_state_3d(pose_graph, writer: ProtoStreamWriter,
             {"id": [t, i], "t": list(map(float, n.global_t)),
              "q": list(map(float, n.global_q))}
             for (t, i), n in pose_graph.nodes.items()],
+        "landmark_poses": {
+            lid: list(map(float, np.atleast_1d(p)))
+            for lid, p in pose_graph.landmark_poses.items()},
+        "frozen_landmarks": sorted(pose_graph._frozen_landmarks),
     }))
     writer.write(_pack({"type": "trajectory_builder_options", "options": {}}))
     for (t, i), entry in pose_graph.submap_data.items():
@@ -229,7 +238,21 @@ def _serialize_state_3d(pose_graph, writer: ProtoStreamWriter,
             "low_cloud": _quantize_cloud(node.low_res_cloud),
             "histogram": _nd(np.asarray(node.scan_histogram, np.float32)),
         }))
-    writer.write(_pack({"type": "trajectory_data"}))
+    # TrajectoryData (optimization_problem_3d.h): learned gravity constant,
+    # IMU calibration, fixed-frame origin (serialized per trajectory like
+    # mapping_state_serialization.cc SerializeTrajectoryData).
+    entries = []
+    for tid, td in pose_graph.trajectory_data.items():
+        e = {"trajectory_id": tid}
+        if "gravity_constant" in td:
+            e["gravity_constant"] = float(td["gravity_constant"])
+            e["imu_calibration"] = list(map(float, td["imu_calibration"]))
+        if "fixed_frame_origin" in td:
+            o_t, o_q = td["fixed_frame_origin"]
+            e["fixed_frame_origin_t"] = list(map(float, o_t))
+            e["fixed_frame_origin_q"] = list(map(float, o_q))
+        entries.append(e)
+    writer.write(_pack({"type": "trajectory_data", "entries": entries}))
 
 
 def _load_state_3d(records, pose_graph, trajectory_remapping, frozen):
@@ -300,6 +323,24 @@ def _load_state_3d(records, pose_graph, trajectory_remapping, frozen):
             entry = pose_graph.submap_data.get(c.submap_id)
             if entry is not None:
                 entry.node_ids.add(c.node_id)
+    for lid, p in pg_record.get("landmark_poses", {}).items():
+        pose_graph.landmark_poses[lid] = np.asarray(p, np.float64)
+    pose_graph._frozen_landmarks.update(pg_record.get("frozen_landmarks", []))
+    td_record = next(
+        (r for r in records if r["type"] == "trajectory_data"), None)
+    if td_record is not None:
+        for e in td_record.get("entries", []):
+            entry = {}
+            if "gravity_constant" in e:
+                entry["gravity_constant"] = e["gravity_constant"]
+                entry["imu_calibration"] = np.asarray(e["imu_calibration"])
+            if "fixed_frame_origin_t" in e:
+                entry["fixed_frame_origin"] = (
+                    np.asarray(e["fixed_frame_origin_t"]),
+                    np.asarray(e["fixed_frame_origin_q"]))
+            if entry:
+                pose_graph.trajectory_data[
+                    map_traj(e.get("trajectory_id", 0))] = entry
     if frozen:
         for t in set(remap.values()):
             pose_graph.freeze_trajectory(t)
@@ -401,6 +442,11 @@ def load_state(reader: ProtoStreamReader, pose_graph,
             entry = pose_graph.submap_data.get(c.submap_id)
             if entry is not None:
                 entry.node_ids.add(c.node_id)
+
+    for lid, p in pose_graph_record.get("landmark_poses", {}).items():
+        pose_graph.landmark_poses[lid] = np.asarray(p, np.float64)
+    pose_graph._frozen_landmarks.update(
+        pose_graph_record.get("frozen_landmarks", []))
 
     if frozen:
         for t in set(remap.values()):

@@ -201,10 +201,10 @@ class GlobalTrajectoryBuilder3D:
         self._pose_graph.add_odometry_data(self.trajectory_id, odometry_data)
 
     def add_fixed_frame_pose_data(self, data: FixedFramePoseData) -> None:
-        pass
+        self._pose_graph.add_fixed_frame_pose_data(self.trajectory_id, data)
 
     def add_landmark_data(self, data: LandmarkData) -> None:
-        pass
+        self._pose_graph.add_landmark_data(self.trajectory_id, data)
 
     def finish(self):
         return self._local.finish() if self._local is not None else []

@@ -79,6 +79,36 @@ def _inverse(t, q):
     return nquat.rotate(iq, -t), iq
 
 
+def _interpolate_fixed_frame(traj_ff, ff_times, time):
+    """Time-interpolated fixed-frame pose at `time`, or None outside the fix
+    range (reference optimization_problem.cc Interpolate over MapByTime).
+
+    Returns (t (3,), q (4,), has_rotation); fixes without rotation yield the
+    identity quaternion and has_rotation=False (rotation weight zeroed by the
+    caller, matching the 2D path)."""
+    import bisect
+
+    if not traj_ff or time < ff_times[0] or time > ff_times[-1]:
+        return None
+    i = bisect.bisect_left(ff_times, time)
+    if ff_times[i] == time:
+        lo = hi = traj_ff[i][1]
+    else:
+        lo, hi = traj_ff[i - 1][1], traj_ff[i][1]
+    t_lo, t_hi = lo.time, hi.time
+    factor = 0.0 if t_hi == t_lo else (time - t_lo) / (t_hi - t_lo)
+    has_rot = lo.pose_rotation is not None and hi.pose_rotation is not None
+    q_lo = np.asarray(lo.pose_rotation if lo.pose_rotation is not None
+                      else nquat.IDENTITY, np.float64)
+    q_hi = np.asarray(hi.pose_rotation if hi.pose_rotation is not None
+                      else nquat.IDENTITY, np.float64)
+    from cartographer_tpu.transform.interpolation import _np_interpolate
+    t, q = _np_interpolate(
+        np.asarray(lo.pose_translation, np.float64), q_lo,
+        np.asarray(hi.pose_translation, np.float64), q_hi, factor)
+    return t, q, has_rot
+
+
 class PoseGraph3D:
     def __init__(self, options: PoseGraphOptions, num_background_threads: int = 0):
         """`num_background_threads` > 0 enables the reference's pipelined
@@ -147,7 +177,12 @@ class PoseGraph3D:
         from cartographer_tpu.sensor.map_by_time import MapByTime
         self._imu_data: MapByTime = MapByTime()
         self._odometry_data: MapByTime = MapByTime()
-        self.landmark_poses: Dict[str, np.ndarray] = {}
+        # GPS-like fixed-frame poses + landmark observations feeding the SE(3)
+        # SPA (optimization_problem_3d.cc:505-578 fixed frames with learned
+        # per-trajectory yaw-only origin; landmark_cost_function_3d.h).
+        self._fixed_frame_data: MapByTime = MapByTime()
+        self._landmark_observations: List = []  # (trajectory_id, LandmarkData)
+        self.landmark_poses: Dict[str, np.ndarray] = {}  # id -> [t(3)|q(4)] (7,)
         self._frozen_landmarks: Set[str] = set()
         self._global_optimization_callbacks: List = []
         # PoseGraphInterface::TrajectoryState
@@ -172,6 +207,52 @@ class PoseGraph3D:
                                        odometry_data)
         except ValueError:
             pass
+
+    def add_fixed_frame_pose_data(self, trajectory_id: int, data) -> None:
+        """PoseGraph3D::AddFixedFramePoseData (pose_graph_3d.cc): queue the
+        fix for the optimization problem; invalid fixes (no solution) are
+        dropped here like the reference's missing-pose handling."""
+        if data.pose_translation is None:
+            return
+        with self._result_lock:
+            self._fixed_frame_data.append(trajectory_id, data.time, data)
+
+    def add_landmark_data(self, trajectory_id: int, data) -> None:
+        """PoseGraph3D::AddLandmarkData -> landmark observation queue."""
+        with self._result_lock:
+            self._landmark_observations.append((trajectory_id, data))
+
+    def _odometry_poses_at_3d(self, trajectory_id: int, times):
+        """Interpolated SE(3) odometry poses (t, q) at the given sorted node
+        times; None where the buffer doesn't bracket the time. One sorted
+        sweep, O(M + N log M) (CalculateOdometryBetweenNodes,
+        optimization_problem_3d.cc:608)."""
+        import bisect
+
+        from cartographer_tpu.transform.interpolation import _np_interpolate
+
+        traj = self._odometry_data.trajectory(trajectory_id)
+        out = [None] * len(times)
+        if len(traj) < 2:
+            return out
+        tlist = [e[0] for e in traj]
+        for k, t in enumerate(times):
+            if t < tlist[0] or t > tlist[-1]:
+                continue
+            i = bisect.bisect_left(tlist, t)
+            if tlist[i] == t or i == 0:
+                d = traj[min(i, len(traj) - 1)][1]
+                out[k] = (np.asarray(d.pose_translation, np.float64),
+                          np.asarray(d.pose_rotation, np.float64))
+                continue
+            f = (t - tlist[i - 1]) / (tlist[i] - tlist[i - 1])
+            a, b = traj[i - 1][1], traj[i][1]
+            out[k] = _np_interpolate(
+                np.asarray(a.pose_translation, np.float64),
+                np.asarray(a.pose_rotation, np.float64),
+                np.asarray(b.pose_translation, np.float64),
+                np.asarray(b.pose_rotation, np.float64), f)
+        return out
 
     def _integrate_imu(self, trajectory_id: int, t_start, t_end):
         """Integrate gyro + accelerometer between two times.
@@ -468,7 +549,12 @@ class PoseGraph3D:
             if tid in self._frozen_trajectories:
                 continue
             items = self.nodes.trajectory(tid)
-            for (i1, n1), (i2, n2) in zip(items, items[1:]):
+            # Odometry relative constraints (CalculateOdometryBetweenNodes,
+            # optimization_problem_3d.cc:469-487 — the reference adds them
+            # in fix_z mode where IMU blocks are absent); one sorted sweep.
+            odo = (self._odometry_poses_at_3d(tid, [n.time for _, n in items])
+                   if op.fix_z_in_3d else None)
+            for k, ((i1, n1), (i2, n2)) in enumerate(zip(items, items[1:])):
                 inv_t, inv_q = _inverse(n1.local_pose_translation,
                                         n1.local_pose_rotation)
                 r_t, r_q = _compose(inv_t, inv_q, n2.local_pose_translation,
@@ -481,6 +567,16 @@ class PoseGraph3D:
                 rw.append(op.local_slam_pose_rotation_weight)
                 hub.append(False)
                 if op.fix_z_in_3d:
+                    if odo[k] is not None and odo[k + 1] is not None:
+                        o_inv = _inverse(*odo[k])
+                        o_t, o_q = _compose(*o_inv, *odo[k + 1])
+                        a_idx.append(node_slots[NodeId(tid, i1)])
+                        b_idx.append(node_slots[NodeId(tid, i2)])
+                        rel_t.append(o_t)
+                        rel_q.append(o_q)
+                        tw.append(op.odometry_translation_weight)
+                        rw.append(op.odometry_rotation_weight)
+                        hub.append(False)
                     continue  # no IMU blocks in fix_z mode (reference :354)
                 dt12 = max((n2.time - n1.time) * 1e-6, 1e-3)
                 imu = self._integrate_imu(tid, n1.time, n2.time)
@@ -523,6 +619,89 @@ class PoseGraph3D:
                 acc_w.append(op.acceleration_weight / (dt1 + dt2))
                 acc_traj.append(traj_slots[tid])
 
+        # --- fixed-frame (GPS) constraints -------------------------------
+        # optimization_problem_3d.cc:505-560: per trajectory a learned
+        # yaw-only fixed-frame origin pose; each node inside the fix time
+        # range gets an SE(3) constraint origin->node whose measurement is
+        # the time-interpolated fix. TolerantLoss maps to the Huber flag.
+        yaw_only = [False] * len(ts)
+        ff_origin_slots: Dict[int, int] = {}
+        for tid in self.nodes.trajectory_ids():
+            traj_ff = self._fixed_frame_data.trajectory(tid)
+            if not traj_ff:
+                continue
+            ff_times = [t for t, _ in traj_ff]
+            for nindex, node in self.nodes.trajectory(tid):
+                fix = _interpolate_fixed_frame(traj_ff, ff_times, node.time)
+                if fix is None:
+                    continue
+                fix_t, fix_q, has_rotation = fix
+                if tid not in ff_origin_slots:
+                    td = self.trajectory_data.get(tid, {})
+                    if "fixed_frame_origin" in td:
+                        o_t, o_q = td["fixed_frame_origin"]
+                    else:
+                        # origin = node_global * fix^-1, yaw component only
+                        # (optimization_problem_3d.cc:536-547).
+                        inv_t, inv_q = _inverse(fix_t, fix_q)
+                        o_t, o_q = _compose(node.global_t, node.global_q,
+                                            inv_t, inv_q)
+                        o_q = nquat.from_yaw(nquat.get_yaw(o_q))
+                    ff_origin_slots[tid] = len(ts)
+                    ts.append(np.asarray(o_t, np.float64))
+                    qs.append(np.asarray(o_q, np.float64))
+                    fixed.append(False)
+                    yaw_only.append(True)
+                a_idx.append(ff_origin_slots[tid])
+                b_idx.append(node_slots[NodeId(tid, nindex)])
+                rel_t.append(np.asarray(fix_t, np.float64))
+                rel_q.append(np.asarray(fix_q, np.float64))
+                tw.append(op.fixed_frame_pose_translation_weight)
+                rw.append(op.fixed_frame_pose_rotation_weight
+                          if has_rotation else 0.0)
+                hub.append(op.fixed_frame_pose_use_tolerant_loss)
+
+        # --- landmarks (landmark_cost_function_3d.h) ---------------------
+        # One SE(3) slot per landmark id; the observation couples it to the
+        # time-nearest node (nearest-node instead of the reference's
+        # two-node interpolation, matching the 2D design).
+        landmark_slots: Dict[str, int] = {}
+        for tid, data in self._landmark_observations:
+            node_items = self.nodes.trajectory(tid)
+            if not node_items:
+                continue
+            nearest_index, nearest_node = min(
+                node_items, key=lambda kv: abs(kv[1].time - data.time))
+            if abs(nearest_node.time - data.time) > 1_000_000:
+                continue
+            for obs in data.landmark_observations:
+                obs_t = np.asarray(
+                    obs.landmark_to_tracking_transform_translation, np.float64)
+                obs_q = np.asarray(
+                    obs.landmark_to_tracking_transform_rotation, np.float64)
+                if obs.id not in landmark_slots:
+                    landmark_slots[obs.id] = len(ts)
+                    if obs.id in self.landmark_poses:
+                        p = np.asarray(self.landmark_poses[obs.id], np.float64)
+                        ts.append(p[:3])
+                        qs.append(nquat.normalize(p[3:7]))
+                        fixed.append(obs.id in self._frozen_landmarks)
+                    else:
+                        l_t, l_q = _compose(nearest_node.global_t,
+                                            nearest_node.global_q,
+                                            obs_t, obs_q)
+                        ts.append(l_t)
+                        qs.append(l_q)
+                        fixed.append(False)
+                    yaw_only.append(False)
+                a_idx.append(node_slots[NodeId(tid, nearest_index)])
+                b_idx.append(landmark_slots[obs.id])
+                rel_t.append(obs_t)
+                rel_q.append(obs_q)
+                tw.append(obs.translation_weight)
+                rw.append(obs.rotation_weight)
+                hub.append(False)
+
         C = len(a_idx)
         cap = 1 << int(np.ceil(np.log2(max(C, 16))))
 
@@ -547,8 +726,9 @@ class PoseGraph3D:
             for tid, slot in traj_slots.items():
                 data = self.trajectory_data.get(tid)
                 if data is not None:
-                    g_init[slot] = data["gravity_constant"]
-                    c_init[slot] = data["imu_calibration"]
+                    g_init[slot] = data.get("gravity_constant", 9.8)
+                    c_init[slot] = data.get("imu_calibration",
+                                            np.array([1.0, 0, 0, 0]))
             imu_kwargs.update(
                 gravity_init=jnp.asarray(g_init),
                 imu_calibration_init=jnp.asarray(c_init))
@@ -588,6 +768,8 @@ class PoseGraph3D:
             use_huber=jnp.asarray(pad(hub, (cap,), bool)),
             valid=jnp.asarray(np.arange(cap) < C),
             fixed=jnp.asarray(np.asarray(fixed, bool)),
+            yaw_only=(jnp.asarray(np.asarray(yaw_only, bool))
+                      if any(yaw_only) else None),
             **imu_kwargs)
         t_out, q_out, g_out, calib_out = solve_spa_3d(
             problem, num_iterations=num_iterations,
@@ -603,10 +785,16 @@ class PoseGraph3D:
         calib_out = np.asarray(calib_out, np.float64)
         with self._result_lock:
             for tid, slot in traj_slots.items():
-                self.trajectory_data[tid] = {
-                    "gravity_constant": float(g_out[slot]),
-                    "imu_calibration": calib_out[slot].copy(),
-                }
+                td = self.trajectory_data.setdefault(tid, {})
+                td["gravity_constant"] = float(g_out[slot])
+                td["imu_calibration"] = calib_out[slot].copy()
+            for tid, slot in ff_origin_slots.items():
+                td = self.trajectory_data.setdefault(tid, {})
+                td["fixed_frame_origin"] = (t_out[slot].copy(),
+                                            q_out[slot].copy())
+            for lid, slot in landmark_slots.items():
+                self.landmark_poses[lid] = np.concatenate(
+                    [t_out[slot], q_out[slot]])
             for sid, slot in submap_slots.items():
                 if sid in self.submap_data:
                     self.submap_data[sid].global_t = t_out[slot]
@@ -673,6 +861,11 @@ class PoseGraph3D:
                 and c.node_id.trajectory_id != trajectory_id)]
         self._imu_data.delete_trajectory(trajectory_id)
         self._odometry_data.delete_trajectory(trajectory_id)
+        self._fixed_frame_data.delete_trajectory(trajectory_id)
+        self._landmark_observations = [
+            (tid, d) for tid, d in self._landmark_observations
+            if tid != trajectory_id]
+        self.trajectory_data.pop(trajectory_id, None)
         self._frozen_trajectories.discard(trajectory_id)
         self.trajectory_states[trajectory_id] = "DELETED"
 

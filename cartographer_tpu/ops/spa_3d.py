@@ -45,6 +45,11 @@ class SpaProblem3D:
     use_huber: jnp.ndarray  # (C,) bool
     valid: jnp.ndarray  # (C,) bool
     fixed: jnp.ndarray  # (V,) bool
+    # Yaw-only rotation parameterization per pose slot (the reference's
+    # fixed-frame origin blocks, optimization_problem_3d.cc:540-551
+    # YawOnlyQuaternionPlus): body-frame x/y rotation tangents frozen. Exact
+    # for slots whose rotation is a pure yaw (body z == world z).
+    yaw_only: jnp.ndarray = None  # (V,) bool
     # Acceleration triplets (i, j, k) = consecutive nodes: the IMU-measured
     # middle-frame delta velocity vs the pose second difference
     # (AccelerationCostFunction3D). Empty arrays (A=0) disable the term.
@@ -282,6 +287,10 @@ def solve_spa_3d(problem: SpaProblem3D, num_iterations: int = 50,
             # optimization_problem options fix_z_in_3d: freeze the z tangent.
             z_mask = jnp.tile(jnp.array([True, True, False, True, True, True]), V)
             pose_free = pose_free & z_mask
+        if problem.yaw_only is not None:
+            yaw_mask = ~jnp.repeat(problem.yaw_only, 6) | jnp.tile(
+                jnp.array([True, True, True, False, False, True]), V)
+            pose_free = pose_free & yaw_mask
         traj_free = jnp.tile(
             jnp.array([learn_gravity] + [learn_imu_calibration] * 3), T)
         free_flat = jnp.concatenate([pose_free, traj_free])
