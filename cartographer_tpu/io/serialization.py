@@ -102,6 +102,11 @@ def serialize_state(pose_graph, writer: ProtoStreamWriter,
             lid: list(map(float, np.atleast_1d(p)))
             for lid, p in pose_graph.landmark_poses.items()},
         "frozen_landmarks": sorted(pose_graph._frozen_landmarks),
+        # Learned fixed-frame origins (optimization_problem TrajectoryData
+        # fixed_frame_origin_in_map, 2D projection).
+        "fixed_frame_origins": {
+            str(tid): list(map(float, o))
+            for tid, o in pose_graph.fixed_frame_origin.items()},
     }))
 
     writer.write(_pack({"type": "trajectory_builder_options", "options": {}}))
@@ -447,6 +452,9 @@ def load_state(reader: ProtoStreamReader, pose_graph,
         pose_graph.landmark_poses[lid] = np.asarray(p, np.float64)
     pose_graph._frozen_landmarks.update(
         pose_graph_record.get("frozen_landmarks", []))
+    for tid_s, o in pose_graph_record.get("fixed_frame_origins", {}).items():
+        pose_graph.fixed_frame_origin[map_traj(int(tid_s))] = np.asarray(
+            o, np.float64)
 
     if frozen:
         for t in set(remap.values()):

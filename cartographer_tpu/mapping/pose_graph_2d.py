@@ -139,6 +139,9 @@ class PoseGraph2D:
         from cartographer_tpu.sensor.map_by_time import MapByTime
         self._odometry_data: MapByTime = MapByTime()
         self._fixed_frame_data: MapByTime = MapByTime()
+        # Learned fixed-frame-origin-in-map per trajectory, [x, y, theta]
+        # (optimization_problem_2d.cc C_fixed_frames / TrajectoryData).
+        self.fixed_frame_origin: Dict[int, np.ndarray] = {}
         self._landmark_observations: List = []  # (trajectory_id, LandmarkData)
         self.landmark_poses: Dict[str, np.ndarray] = {}
         self._frozen_landmarks: Set[str] = set()
@@ -542,36 +545,43 @@ class PoseGraph2D:
                     nn_tws.append(op.odometry_translation_weight)
                     nn_rws.append(op.odometry_rotation_weight)
 
-        # --- fixed-frame (GPS) unary anchors ---
-        # (optimization_problem_2d.cc:351-389); rotation weight 0 when the
-        # fix carries no orientation.
-        u_idx, u_rels, u_tws, u_rws, u_hubers = [], [], [], [], []
+        # --- fixed-frame (GPS) constraints with a learned per-trajectory
+        # origin (optimization_problem_2d.cc:351-394: C_fixed_frames pose
+        # block initialized from the first constrained node, persisted via
+        # fixed_frame_origin_in_map). The origin is a submap-side slot
+        # coupled to every node inside the fix time range by the
+        # time-interpolated fix — like landmarks, it Schur-eliminates. ---
+        from cartographer_tpu.mapping.pose_graph_3d import (
+            _interpolate_fixed_frame)
+        ff_origin_slots: Dict[int, int] = {}
         for tid in self.nodes.trajectory_ids():
             traj_ff = self._fixed_frame_data.trajectory(tid)
             if not traj_ff:
                 continue
             ff_times = [t for t, _ in traj_ff]
-            import bisect as _bisect
             for nindex, node in self.nodes.trajectory(tid):
-                i = _bisect.bisect_left(ff_times, node.time)
-                if i >= len(traj_ff) or (i == 0 and ff_times[0] > node.time):
+                fix = _interpolate_fixed_frame(traj_ff, ff_times, node.time)
+                if fix is None:
                     continue
-                # Nearest fix within 1 second.
-                cand = min(
-                    (abs(ff_times[j] - node.time), j)
-                    for j in (max(i - 1, 0), min(i, len(traj_ff) - 1)))
-                if cand[0] > 1_000_000:
-                    continue
-                fix = traj_ff[cand[1]][1]
-                yaw = (nquat.get_yaw(fix.pose_rotation)
-                       if fix.pose_rotation is not None else 0.0)
-                u_idx.append(node_slots[NodeId(tid, nindex)])
-                u_rels.append(np.array([fix.pose_translation[0],
-                                        fix.pose_translation[1], yaw]))
-                u_tws.append(op.fixed_frame_pose_translation_weight)
-                u_rws.append(op.fixed_frame_pose_rotation_weight
-                             if fix.pose_rotation is not None else 0.0)
-                u_hubers.append(op.fixed_frame_pose_use_tolerant_loss)
+                fix_t, fix_q, has_rotation = fix
+                fix2d = np.array([fix_t[0], fix_t[1], nquat.get_yaw(fix_q)])
+                if tid not in ff_origin_slots:
+                    if tid in self.fixed_frame_origin:
+                        origin = np.asarray(self.fixed_frame_origin[tid],
+                                            np.float64)
+                    else:
+                        origin = _compose2d(node.global_pose_2d,
+                                            _inverse2d(fix2d))
+                    ff_origin_slots[tid] = len(sub_poses)
+                    sub_poses.append(origin)
+                    sub_fixed.append(False)
+                a_idx.append(ff_origin_slots[tid])
+                b_idx.append(node_slots[NodeId(tid, nindex)])
+                rels.append(fix2d)
+                tws.append(op.fixed_frame_pose_translation_weight)
+                rws.append(op.fixed_frame_pose_rotation_weight
+                           if has_rotation else 0.0)
+                hubers.append(op.fixed_frame_pose_use_tolerant_loss)
 
         # --- landmarks: submap-side slots (couple only to nodes) ---
         # observation = landmark pose in the tracking frame of the nearest
@@ -618,7 +628,7 @@ class PoseGraph2D:
             sub_poses, sub_fixed, node_poses, node_fixed,
             (a_idx, b_idx, rels, tws, rws, hubers),
             (j_idx, nn_rels, nn_tws, nn_rws),
-            (u_idx, u_rels, u_tws, u_rws, u_hubers),
+            ([], [], [], [], []),  # unary anchors unused (origin slots above)
             num_iterations)
 
         with self._result_lock:
@@ -630,6 +640,8 @@ class PoseGraph2D:
                     self.nodes[nid].global_pose_2d = node_solved[slot].astype(np.float64)
             for lid, slot in landmark_slots.items():
                 self.landmark_poses[lid] = sub_solved[slot].astype(np.float64)
+            for tid, slot in ff_origin_slots.items():
+                self.fixed_frame_origin[tid] = sub_solved[slot].astype(np.float64)
             # Extrapolate submaps/nodes appended while the solve ran: shift
             # them by the correction of their trajectory's anchor submap
             # (last optimized), new_anchor * old_anchor^-1.
@@ -840,6 +852,7 @@ class PoseGraph2D:
         self._landmark_observations = [
             (tid, d) for (tid, d) in self._landmark_observations
             if tid != trajectory_id]
+        self.fixed_frame_origin.pop(trajectory_id, None)
         self._frozen_trajectories.discard(trajectory_id)
         self.trajectory_states[trajectory_id] = "DELETED"
 

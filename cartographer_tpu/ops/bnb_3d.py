@@ -178,56 +178,20 @@ def _score_level(level: jnp.ndarray, re, base_cells: jnp.ndarray,
     return jnp.sum(jnp.where(mask[None, :], p, 0.0), axis=-1) / num
 
 
-def fast_correlative_match_3d(
-    stack: PrecomputationStack3D,  # over the high-res grid
-    grid: Grid3D,  # high-res grid (metadata)
-    low_grid: Grid3D,  # low-resolution grid for the leaf gate
-    points: jnp.ndarray,  # (N, 3) node cloud (high-res filtered)
-    mask: jnp.ndarray,
-    low_points: jnp.ndarray,  # (Nl, 3) low-res filtered cloud
-    low_mask: jnp.ndarray,
-    scan_histogram: jnp.ndarray,  # (bins,)
-    submap_histogram: jnp.ndarray,  # (bins,)
-    initial_pose: Rigid3,  # node pose estimate in submap/grid frame
-    params: FastCorrelativeMatcherParams3D,
-    min_score: float,
-) -> Tuple[jnp.ndarray, jnp.ndarray, Rigid3, jnp.ndarray, jnp.ndarray]:
-    """Returns (found, score, pose, rotational_score, low_resolution_score)."""
+def _beam_candidates_3d(stack: PrecomputationStack3D, base_cells, mask,
+                        yaw_alive, w_xy: int, w_z: int, size: int,
+                        num_angles: int, min_score: float, beam_width: int):
+    """Level-synchronous beam search from the stack top (the executable
+    specification of the (yaw, x, y, z) tree; CPU default path).
+
+    Returns (a_idx, ox, oy, oz, scores) leaf candidates: all candidates of
+    a level are scored in one batched gather (admissible bounds — the max
+    over each 2^h block upper-bounds every leaf inside), the top
+    `beam_width` survive, and each splits into 8 children. The two
+    `lax.scan`s (coarse levels, then full-resolution levels) keep compile
+    time flat in branch_and_bound_depth."""
     depth = stack.depth
     frd = stack.full_resolution_depth
-    res = grid.resolution
-    size = grid.size
-    num_angles = params.static_num_angles(res)
-
-    ranges = jnp.linalg.norm(points, axis=-1)
-    max_range = jnp.maximum(jnp.max(jnp.where(mask, ranges, 0.0)), 3.0 * res)
-    step = (1.0 - 1e-3) * jnp.arccos(1.0 - res**2 / (2.0 * max_range**2))
-    half = (num_angles - 1) // 2
-    deltas = (jnp.arange(num_angles, dtype=jnp.float32) - half) * step
-    angle_valid = jnp.abs(deltas) <= params.angular_search_window + 1e-6
-
-    # Rotational histogram pre-filter over candidate yaws
-    # (fast_correlative_scan_matcher_3d.cc min_rotational_score gate).
-    initial_yaw = quat.get_yaw(initial_pose.rotation)
-    rot_scores = match_histograms(
-        submap_histogram, scan_histogram, initial_yaw + deltas)
-    yaw_alive = angle_valid & (rot_scores >= params.min_rotational_score)
-
-    # Per-yaw rotated + discretized clouds.
-    yaw_qs = quat.from_yaw(deltas)  # rotation about z applied after initial
-    rotated = quat.rotate(yaw_qs[:, None, :],
-                          quat.rotate(initial_pose.rotation[None, None, :],
-                                      points[None, :, :]))
-    world = rotated + initial_pose.translation[None, None, :]
-    base_cells = grid.world_to_cell(world)  # (A, N, 3)
-    low_rotated = quat.rotate(yaw_qs[:, None, :],
-                              quat.rotate(initial_pose.rotation[None, None, :],
-                                          low_points[None, :, :]))
-    low_world = low_rotated + initial_pose.translation[None, None, :]
-    low_base = low_grid.world_to_cell(low_world)  # (A, Nl, 3)
-
-    w_xy = int(math.ceil(params.linear_xy_search_window / res))
-    w_z = int(math.ceil(params.linear_z_search_window / res))
     top_stride = 1 << (depth - 1)
 
     def offsets(w):
@@ -256,7 +220,7 @@ def fast_correlative_match_3d(
     scores = jnp.where(yaw_alive[a_idx], scores, -jnp.inf)
 
     # Fixed-width beam carry: 8 children per surviving parent.
-    beam = min(params.beam_width, scores.shape[0])
+    beam = min(beam_width, scores.shape[0])
     width = 8 * beam
     pad = max(0, width - scores.shape[0])
     a_idx = jnp.pad(a_idx, (0, pad))
@@ -304,7 +268,226 @@ def fast_correlative_match_3d(
         hs = jnp.arange(top_full, -1, -1)
         xs = (hs, jnp.zeros_like(hs), jnp.left_shift(1, hs))
         carry, _ = jax.lax.scan(make_step(stack.full), carry, xs)
-    a_idx, ox, oy, oz, scores = carry
+    return carry
+
+
+def _dense_candidates_3d(stack: PrecomputationStack3D, base_cells, mask,
+                         yaw_alive, w_xy: int, w_z: int, size: int,
+                         beam_width: int):
+    """Dense MXU level-2 bounds for the 3D matcher (TPU production path).
+
+    3D analog of ops/bnb_2d.py `_match_dense`: TPU gathers execute
+    near-serially, so instead of descending from the stack top, COMPLETE
+    admissible bounds for every level-2 tree node of every yaw (all
+    4-cell-aligned (x, y, z) offsets in the window) are computed with zero
+    gathers:
+
+    - per yaw a coarse COUNT VOLUME C[a, x, y, z] over the scan's 4-cell
+      blocks (one-hot matmul per angle chunk — x one-hot contracted with a
+      combined (y, z) one-hot on the MXU, chunked over yaws via lax.scan to
+      bound the one-hot working set);
+    - a block-max BOUND VOLUME D[i, j, k] = max probability over cells
+      [4i, 4i+8) x [4j, 4j+8) x [4k, 4k+8) of the full-res grid (one extra
+      low-side block per axis so nodes straddling the map's low edge are
+      still upper-bounded; bf16 rounding forced UP);
+    - their cross-correlation as ONE grouped 2D convolution with z folded
+      into the reduction channels and the z-offset into the batch dim
+      (out[kz, a, kx, ky] = sum_{x,y,z} C[a,x,y,z] * Dp[x+kx, y+ky, z+kz]),
+      a shape XLA tiles natively onto the MXU — a direct 3D conv lowers
+      far worse.
+
+    Completeness at level 2 means no pruning risk above it; the top-K
+    surviving regions descend levels 1 and 0 with the exact gather scorer.
+    Bound admissibility: leaves of the node at offset 4(k - nl) for a point
+    in block b span cells [4(b+k), 4(b+k)+8) per axis, covered by D[b+k].
+
+    Returns (a_idx, ox, oy, oz, scores) leaf candidates.
+    """
+    num_angles, n_pts = base_cells.shape[0], base_cells.shape[1]
+    nl_xy = -(-w_xy // 4)
+    nl_z = -(-w_z // 4)
+    sc = size // 4
+    ext_xy = sc + 2 * nl_xy + 1  # extended coarse space [-nl-1, sc+nl)
+    ext_z = sc + 2 * nl_z + 1
+    num_off_xy = 2 * nl_xy + 1
+    num_off_z = 2 * nl_z + 1
+    num_valid = jnp.maximum(jnp.sum(mask), 1).astype(jnp.float32)
+
+    # --- Stage A: dense level-2 bounds ---------------------------------
+    cc = (base_cells >> 2) + jnp.array([nl_xy + 1, nl_xy + 1, nl_z + 1])
+    inr = ((cc[..., 0] >= 0) & (cc[..., 0] < ext_xy)
+           & (cc[..., 1] >= 0) & (cc[..., 1] < ext_xy)
+           & (cc[..., 2] >= 0) & (cc[..., 2] < ext_z)
+           & mask[None, :])
+    oob = num_valid - jnp.sum(inr, axis=-1).astype(jnp.float32)  # (A,)
+    lin_yz = cc[..., 1] * ext_z + cc[..., 2]  # (A, N)
+
+    # Count volume per yaw, chunked so the (g, N, ext_xy*ext_z) one-hot
+    # stays ~100 MB instead of A/g times that.
+    g = min(8, num_angles)
+    a_pad = (-num_angles) % g
+    cx_ = jnp.pad(cc[..., 0], ((0, a_pad), (0, 0)))
+    lyz_ = jnp.pad(lin_yz, ((0, a_pad), (0, 0)))
+    inr_ = jnp.pad(inr, ((0, a_pad), (0, 0)))
+
+    def count_chunk(_, xs):
+        cxc, lyzc, inrc = xs  # (g, N) each
+        iox = jax.lax.broadcasted_iota(jnp.int32, (g, n_pts, ext_xy), 2)
+        Px = ((iox == cxc[..., None]) & inrc[..., None]).astype(jnp.bfloat16)
+        ioyz = jax.lax.broadcasted_iota(
+            jnp.int32, (g, n_pts, ext_xy * ext_z), 2)
+        Pyz = ((ioyz == lyzc[..., None]) & inrc[..., None]).astype(jnp.bfloat16)
+        # Counts <= N are exact integers in bf16... up to 256; counts here
+        # are per (4 cm)^3 block and tiny in practice, but use f32
+        # accumulation to be safe, then round back.
+        Cc = jnp.einsum("anx,anm->axm", Px, Pyz,
+                        preferred_element_type=jnp.float32)
+        return None, Cc.astype(jnp.bfloat16)
+
+    xs = (cx_.reshape(-1, g, n_pts), lyz_.reshape(-1, g, n_pts),
+          inr_.reshape(-1, g, n_pts))
+    _, C = jax.lax.scan(count_chunk, None, xs)
+    C = C.reshape(-1, ext_xy, ext_xy, ext_z)[:num_angles]  # (A, X, Y, Z)
+
+    # Bound volume from the dequantized full-res level (the same values the
+    # exact leaf scorer reads), padded one block low-side per axis.
+    prob = stack.full[0].astype(jnp.float32) * _Q_SCALE + MIN_PROBABILITY
+    d = (prob.reshape(sc, 4, sc, 4, sc, 4).max(axis=(1, 3, 5)))
+    dpad = jnp.pad(d, 1, constant_values=UNKNOWN_PROBABILITY)
+    D = dpad[:-1, :-1, :-1]
+    for sx in range(2):
+        for sy in range(2):
+            for sz in range(2):
+                if sx or sy or sz:
+                    D = jnp.maximum(D, dpad[sx:sx + sc + 1, sy:sy + sc + 1,
+                                            sz:sz + sc + 1])
+    D = (D * (1.0 + 2.0 ** -7)).astype(jnp.bfloat16)  # round UP into bf16
+    dp = jnp.pad(D, ((2 * nl_xy,) * 2, (2 * nl_xy,) * 2, (2 * nl_z,) * 2),
+                 constant_values=UNKNOWN_PROBABILITY)
+
+    # z-offset as conv batch, z as reduction channels: In[kz, z, x, y].
+    In = jnp.stack([dp[:, :, kz:kz + ext_z].transpose(2, 0, 1)
+                    for kz in range(num_off_z)])
+    K = C.transpose(0, 3, 1, 2)  # (A, Z, X, Y)
+    raw = jax.lax.conv_general_dilated(
+        In, K, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32)  # (num_off_z, A, kx, ky)
+    bounds = (raw.transpose(1, 2, 3, 0)
+              + (UNKNOWN_PROBABILITY * oob)[:, None, None, None]) / num_valid
+    bounds = jnp.where(yaw_alive[:, None, None, None], bounds, -jnp.inf)
+
+    # --- Stage B: hierarchical top-K regions -> exact leaf scores ------
+    cells = num_off_xy * num_off_xy * num_off_z
+    k2 = min(max(beam_width // 8, 256), num_angles * cells)
+    m = min(cells, max(8, -(-2 * k2 // num_angles)))
+    pa_vals, pa_idx = jax.lax.top_k(bounds.reshape(num_angles, cells), m)
+    pool = pa_vals.reshape(-1)
+    top_g, gi = jax.lax.top_k(pool, min(k2, pool.shape[0]))
+    a_idx = gi // m
+    off = pa_idx[a_idx, gi % m]
+    kx = off // (num_off_xy * num_off_z)
+    ky = (off // num_off_z) % num_off_xy
+    kz = off % num_off_z
+    ox = (kx - nl_xy) * 4
+    oy = (ky - nl_xy) * 4
+    oz = (kz - nl_z) * 4
+
+    dxyz = jnp.stack(jnp.meshgrid(jnp.arange(2), jnp.arange(2),
+                                  jnp.arange(2), indexing="ij"),
+                     -1).reshape(8, 3)
+
+    def expand(a, x, y, z, child):
+        return (jnp.tile(a, 8),
+                (x[None, :] + dxyz[:, 0:1] * child).reshape(-1),
+                (y[None, :] + dxyz[:, 1:2] * child).reshape(-1),
+                (z[None, :] + dxyz[:, 2:3] * child).reshape(-1))
+
+    # Level 1 (2-cell max bounds), prune back to k2.
+    a1, x1, y1, z1 = expand(a_idx, ox, oy, oz, 2)
+    s1 = _score_level(stack.full[1], 0, base_cells, a1, x1, y1, z1,
+                      mask, size, 2)
+    s1 = jnp.where(yaw_alive[a1], s1, -jnp.inf)
+    _, idx1 = jax.lax.top_k(s1, min(k2, s1.shape[0]))
+    # Level 0: exact leaf scores for all children of the kept level-1 nodes.
+    a0, x0, y0, z0 = expand(a1[idx1], x1[idx1], y1[idx1], z1[idx1], 1)
+    s0 = _score_level(stack.full[0], 0, base_cells, a0, x0, y0, z0,
+                      mask, size, 1)
+    s0 = jnp.where(yaw_alive[a0], s0, -jnp.inf)
+    return a0, x0, y0, z0, s0
+
+
+def fast_correlative_match_3d(
+    stack: PrecomputationStack3D,  # over the high-res grid
+    grid: Grid3D,  # high-res grid (metadata)
+    low_grid: Grid3D,  # low-resolution grid for the leaf gate
+    points: jnp.ndarray,  # (N, 3) node cloud (high-res filtered)
+    mask: jnp.ndarray,
+    low_points: jnp.ndarray,  # (Nl, 3) low-res filtered cloud
+    low_mask: jnp.ndarray,
+    scan_histogram: jnp.ndarray,  # (bins,)
+    submap_histogram: jnp.ndarray,  # (bins,)
+    initial_pose: Rigid3,  # node pose estimate in submap/grid frame
+    params: FastCorrelativeMatcherParams3D,
+    min_score: float,
+    method: str = "auto",
+) -> Tuple[jnp.ndarray, jnp.ndarray, Rigid3, jnp.ndarray, jnp.ndarray]:
+    """Returns (found, score, pose, rotational_score, low_resolution_score).
+
+    `method` selects the candidate-search strategy over the same tree (see
+    ops/bnb_2d.py for the rationale): "dense" (TPU default) computes
+    complete admissible level-2 bounds as one MXU count-volume correlation
+    and gather-descends only the top-K regions; "beam" (CPU default) is the
+    level-synchronous beam search from the stack top.
+    """
+    depth = stack.depth
+    frd = stack.full_resolution_depth
+    res = grid.resolution
+    size = grid.size
+    num_angles = params.static_num_angles(res)
+    if method == "auto":
+        method = "dense" if jax.default_backend() == "tpu" else "beam"
+    if method == "dense" and (size % 4 != 0 or frd < 2):
+        method = "beam"  # block pooling needs 4-aligned grids + full[1]
+
+    ranges = jnp.linalg.norm(points, axis=-1)
+    max_range = jnp.maximum(jnp.max(jnp.where(mask, ranges, 0.0)), 3.0 * res)
+    step = (1.0 - 1e-3) * jnp.arccos(1.0 - res**2 / (2.0 * max_range**2))
+    half = (num_angles - 1) // 2
+    deltas = (jnp.arange(num_angles, dtype=jnp.float32) - half) * step
+    angle_valid = jnp.abs(deltas) <= params.angular_search_window + 1e-6
+
+    # Rotational histogram pre-filter over candidate yaws
+    # (fast_correlative_scan_matcher_3d.cc min_rotational_score gate).
+    initial_yaw = quat.get_yaw(initial_pose.rotation)
+    rot_scores = match_histograms(
+        submap_histogram, scan_histogram, initial_yaw + deltas)
+    yaw_alive = angle_valid & (rot_scores >= params.min_rotational_score)
+
+    # Per-yaw rotated + discretized clouds.
+    yaw_qs = quat.from_yaw(deltas)  # rotation about z applied after initial
+    rotated = quat.rotate(yaw_qs[:, None, :],
+                          quat.rotate(initial_pose.rotation[None, None, :],
+                                      points[None, :, :]))
+    world = rotated + initial_pose.translation[None, None, :]
+    base_cells = grid.world_to_cell(world)  # (A, N, 3)
+    low_rotated = quat.rotate(yaw_qs[:, None, :],
+                              quat.rotate(initial_pose.rotation[None, None, :],
+                                          low_points[None, :, :]))
+    low_world = low_rotated + initial_pose.translation[None, None, :]
+    low_base = low_grid.world_to_cell(low_world)  # (A, Nl, 3)
+
+    w_xy = int(math.ceil(params.linear_xy_search_window / res))
+    w_z = int(math.ceil(params.linear_z_search_window / res))
+
+    if method == "dense":
+        a_idx, ox, oy, oz, scores = _dense_candidates_3d(
+            stack, base_cells, mask, yaw_alive, w_xy, w_z, size,
+            params.beam_width)
+    else:
+        a_idx, ox, oy, oz, scores = _beam_candidates_3d(
+            stack, base_cells, mask, yaw_alive, w_xy, w_z, size,
+            num_angles, min_score, params.beam_width)
 
     # Leaf low-resolution gate: score the best candidates on the low grid
     # (low_resolution_matcher.cc) and kill those below threshold.

@@ -86,7 +86,7 @@ def solve_spa_2d(problem: SpaProblem2D, num_iterations: int = 50,
 
     free = ~problem.fixed  # (V,)
 
-    def iteration(poses, _):
+    def weighted_residuals(poses):
         pa = poses[problem.a_idx]
         pb = poses[problem.b_idx]
         r = res_v(pa, pb, problem.rel, problem.trans_weight, problem.rot_weight)
@@ -98,7 +98,11 @@ def solve_spa_2d(problem: SpaProblem2D, num_iterations: int = 50,
             1.0,
         )
         w = jnp.where(problem.valid, hw, 0.0)[:, None]
-        r = r * w
+        return pa, pb, r * w, w
+
+    def iteration(carry, _):
+        poses, lam = carry
+        pa, pb, r, w = weighted_residuals(poses)
         Ja = jac_a(pa, pb, problem.rel, problem.trans_weight, problem.rot_weight) * w[:, :, None]
         Jb = jac_b(pa, pb, problem.rel, problem.trans_weight, problem.rot_weight) * w[:, :, None]
         J = jnp.concatenate([Ja, Jb], axis=-1)  # (C, 3, 6)
@@ -119,11 +123,26 @@ def solve_spa_2d(problem: SpaProblem2D, num_iterations: int = 50,
         # Fix frozen slots: identity rows/cols, zero gradient.
         free_flat = jnp.repeat(free, 3)
         H = H * (free_flat[:, None] & free_flat[None, :])
-        H = H + jnp.diag(jnp.where(free_flat, damping, 1.0))
+        # Levenberg-Marquardt scale-aware damping (Ceres' trust-region
+        # role): lam * |diag(H)| keeps the step well-posed under extreme
+        # weight ratios; `damping` is the absolute floor.
+        diag_h = jnp.diagonal(H)
+        H = H + jnp.diag(jnp.where(free_flat,
+                                   lam * jnp.abs(diag_h) + damping, 1.0))
         g = jnp.where(free_flat, g, 0.0)
 
         dx = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(H), -g)
-        return poses + dx.reshape(V, 3), None
+        cand = poses + dx.reshape(V, 3)
+        # LM accept/reject: the step must reduce the IRLS-weighted cost and
+        # be finite; a NaN Cholesky (singular system) self-heals this way.
+        cost0 = jnp.sum(r * r)
+        r1 = weighted_residuals(cand)[2]
+        cost1 = jnp.sum(r1 * r1)
+        accept = jnp.isfinite(cost1) & (cost1 <= cost0)
+        poses = jnp.where(accept, cand, poses)
+        lam = jnp.clip(jnp.where(accept, lam / 3.0, lam * 8.0), 1e-8, 1e8)
+        return (poses, lam), None
 
-    poses, _ = jax.lax.scan(iteration, problem.poses, None, length=num_iterations)
+    (poses, _), _ = jax.lax.scan(iteration, (problem.poses, jnp.float32(1e-4)),
+                                 None, length=num_iterations)
     return poses

@@ -188,9 +188,37 @@ def solve_spa_3d(problem: SpaProblem3D, num_iterations: int = 50,
 
     free = ~problem.fixed
     D = V * 6 + T * 4
+    aw_n = problem.acc_weight / wmax if has_acc else None
+    gw_n = problem.rot_c_weight / wmax if has_rot else None
+
+    def total_cost(t, q, grav, calib):
+        """IRLS-weighted squared-residual cost at a state (for the LM
+        accept/reject test)."""
+        ta, qa = t[problem.a_idx], q[problem.a_idx]
+        tb, qb = t[problem.b_idx], q[problem.b_idx]
+        r = res_v(ta, qa, tb, qb, problem.rel_t, problem.rel_q, tw, rw)
+        s = jnp.sum(r * r, axis=-1)
+        hw = jnp.where(problem.use_huber & (s > huber**2),
+                       jnp.sqrt(huber / jnp.sqrt(jnp.maximum(s, 1e-18))), 1.0)
+        w = jnp.where(problem.valid, hw, 0.0)[:, None]
+        c = jnp.sum((r * w) ** 2)
+        if has_acc:
+            ra = jax.vmap(acceleration_residual_3d)(
+                t[problem.acc_i], t[problem.acc_j], t[problem.acc_k],
+                q[problem.acc_j], problem.acc_delta_v, problem.acc_dt1,
+                problem.acc_dt2, aw_n, grav[acc_traj], calib[acc_traj])
+            c = c + jnp.sum(
+                (ra * problem.acc_valid.astype(jnp.float32)[:, None]) ** 2)
+        if has_rot:
+            rr = jax.vmap(rotation_residual_3d)(
+                q[problem.rot_i], q[problem.rot_j], problem.rot_delta_q,
+                calib[rot_traj], gw_n)
+            c = c + jnp.sum(
+                (rr * problem.rot_valid.astype(jnp.float32)[:, None]) ** 2)
+        return c
 
     def iteration(state, _):
-        t, q, grav, calib = state
+        t, q, grav, calib, lam = state
         ta, qa = t[problem.a_idx], q[problem.a_idx]
         tb, qb = t[problem.b_idx], q[problem.b_idx]
         r = res_v(ta, qa, tb, qb, problem.rel_t, problem.rel_q, tw, rw)
@@ -295,22 +323,39 @@ def solve_spa_3d(problem: SpaProblem3D, num_iterations: int = 50,
             jnp.array([learn_gravity] + [learn_imu_calibration] * 3), T)
         free_flat = jnp.concatenate([pose_free, traj_free])
         H = H * (free_flat[:, None] & free_flat[None, :])
-        H = H + jnp.diag(jnp.where(free_flat, damping, 1.0))
+        # Levenberg-Marquardt scale-aware damping (Ceres' trust region,
+        # optimization_problem_3d.cc solver role): lam * |diag(H)| keeps the
+        # step well-posed under extreme weight ratios; `damping` is the
+        # absolute floor.
+        diag_h = jnp.diagonal(H)
+        H = H + jnp.diag(jnp.where(free_flat,
+                                   lam * jnp.abs(diag_h) + damping, 1.0))
         g = jnp.where(free_flat, g, 0.0)
         dx = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(H), -g)
         dp = dx[:V * 6].reshape(V, 6)
-        t = t + dp[:, 0:3]
-        q = quat.normalize(quat.multiply(q, quat.from_axis_angle(dp[:, 3:6])))
+        t2 = t + dp[:, 0:3]
+        q2 = quat.normalize(quat.multiply(q, quat.from_axis_angle(dp[:, 3:6])))
         dt_traj = dx[V * 6:].reshape(T, 4)
         # SetParameterLowerBound(gravity, 0, 0.0): projected GN step.
-        grav = jnp.maximum(grav + dt_traj[:, 0], 0.0)
-        calib = quat.normalize(
+        grav2 = jnp.maximum(grav + dt_traj[:, 0], 0.0)
+        calib2 = quat.normalize(
             quat.multiply(calib, quat.from_axis_angle(dt_traj[:, 1:4])))
-        return (t, q, grav, calib), None
+        # LM accept/reject: the step must reduce the cost and be finite;
+        # a NaN Cholesky (singular system) self-heals via rejection.
+        cost0 = total_cost(t, q, grav, calib)
+        cost1 = total_cost(t2, q2, grav2, calib2)
+        accept = jnp.isfinite(cost1) & (cost1 <= cost0)
+        t = jnp.where(accept, t2, t)
+        q = jnp.where(accept, q2, q)
+        grav = jnp.where(accept, grav2, grav)
+        calib = jnp.where(accept, calib2, calib)
+        lam = jnp.clip(jnp.where(accept, lam / 3.0, lam * 8.0), 1e-8, 1e8)
+        return (t, q, grav, calib, lam), None
 
-    (t, q, grav, calib), _ = jax.lax.scan(
+    (t, q, grav, calib, _), _ = jax.lax.scan(
         iteration,
-        (problem.translations, problem.rotations, g_init, c_init), None,
+        (problem.translations, problem.rotations, g_init, c_init,
+         jnp.float32(1e-4)), None,
         length=num_iterations)
     if return_trajectory_data:
         return t, q, grav, calib

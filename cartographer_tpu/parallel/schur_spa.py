@@ -106,6 +106,26 @@ def _huber_weights(r, use_huber, valid, huber_scale):
     return jnp.where(valid, hw, 0.0)[:, None]
 
 
+def _cost_local(sub, nod, p: SchurSpaProblem2D, huber_scale):
+    """One shard's IRLS-weighted squared-residual cost (for the LM
+    accept/reject test; psum across shards gives the global cost)."""
+    res_v = jax.vmap(constraint_residual)
+    r = res_v(sub[p.a_idx], nod[p.b_idx], p.rel, p.trans_weight, p.rot_weight)
+    r = r * _huber_weights(r, p.use_huber, p.valid, huber_scale)
+    c = jnp.sum(r * r)
+    rn = res_v(nod[p.j_idx], nod[p.j_idx + 1], p.nn_rel,
+               p.nn_trans_weight, p.nn_rot_weight)
+    rn = rn * jnp.where(p.nn_valid, 1.0, 0.0)[:, None]
+    c = c + jnp.sum(rn * rn)
+    if p.u_idx.shape[0] > 0:
+        pu = nod[p.u_idx]
+        ru = res_v(jnp.zeros_like(pu), pu, p.u_rel,
+                   p.u_trans_weight, p.u_rot_weight)
+        ru = ru * _huber_weights(ru, p.u_huber, p.u_valid, huber_scale)
+        c = c + jnp.sum(ru * ru)
+    return c
+
+
 def _assemble_local(sub, nod, p: SchurSpaProblem2D, huber_scale):
     """One device's shard contributions.
 
@@ -239,11 +259,12 @@ def _solver_fn(mesh: Mesh, axis, num_iterations: int,
         huber_scale = huber_scale0 / wmax
 
         def iteration(carry, _):
-            sub, nod = carry
+            sub, nod, lam = carry
             local_i = dataclasses.replace(
                 problem, submap_poses=sub, node_poses=nod)
             A, Td, To, g_s, g_n, Ja, Jb = _assemble_local(
                 sub, nod, local_i, huber_scale)
+            cost0 = psum(_cost_local(sub, nod, local_i, huber_scale))
             # One ICI reduction of the (small) shard contributions per GN
             # iteration; the per-constraint B blocks stay shard-local.
             A = psum(A)
@@ -260,10 +281,19 @@ def _solver_fn(mesh: Mesh, axis, num_iterations: int,
             To = To * fm_n[:-1] * jnp.transpose(fm_n[1:], (0, 2, 1))
             g_s = g_s * sub_free
             g_n = g_n * node_free
-            A = A + jnp.eye(3)[None] * jnp.where(
-                sub_fixed[:, None, None], 1.0, damping)
-            Td = Td + jnp.eye(3)[None] * jnp.where(
-                node_fixed[:, None, None], 1.0, damping)
+            # Levenberg-Marquardt damping (Ceres' trust-region role,
+            # ceres_solver_options / optimization_problem_2d.cc:240):
+            # scale-aware lam * diag(H) keeps the step well-posed even when
+            # weight ratios (e.g. 1e6 GPS vs 1e-2 intra) drive the Schur
+            # complement singular in f32; `damping` is the absolute floor.
+            diag_a = jnp.diagonal(A, axis1=1, axis2=2)  # (S, 3)
+            diag_t = jnp.diagonal(Td, axis1=1, axis2=2)  # (N, 3)
+            add_s = jnp.where(sub_fixed[:, None], 1.0,
+                              lam * jnp.abs(diag_a) + damping)
+            add_n = jnp.where(node_fixed[:, None], 1.0,
+                              lam * jnp.abs(diag_t) + damping)
+            A = A + jax.vmap(jnp.diag)(add_s)
+            Td = Td + jax.vmap(jnp.diag)(add_n)
 
             # Mask B's blocks against frozen endpoints (shard-local), then
             # all_gather the SPARSE per-constraint blocks + indices —
@@ -339,12 +369,23 @@ def _solver_fn(mesh: Mesh, axis, num_iterations: int,
             dx_block = jax.lax.dynamic_slice(dx_s, (offset * 3,), (Sb * 3,))
             dx_n = -(y / n_shards + jnp.einsum("nik,k->ni", X, dx_block))
             dx_n = psum(dx_n)
-            sub = sub + dx_s.reshape(S, 3) * sub_free
-            nod = nod + dx_n * node_free
-            return (sub, nod), None
+            cand_sub = sub + dx_s.reshape(S, 3) * sub_free
+            cand_nod = nod + dx_n * node_free
+            # LM accept/reject: a step must reduce the (IRLS-weighted) cost
+            # and be finite; otherwise keep the poses and raise lam. A NaN
+            # Cholesky (singular reduced system) self-heals this way.
+            cost1 = psum(_cost_local(cand_sub, cand_nod, problem,
+                                     huber_scale))
+            accept = jnp.isfinite(cost1) & (cost1 <= cost0)
+            sub = jnp.where(accept, cand_sub, sub)
+            nod = jnp.where(accept, cand_nod, nod)
+            lam = jnp.clip(jnp.where(accept, lam / 3.0, lam * 8.0),
+                           1e-8, 1e8)
+            return (sub, nod, lam), None
 
-        (sub, nod), _ = jax.lax.scan(
-            iteration, (sub0, nod0), None, length=num_iterations)
+        (sub, nod, _), _ = jax.lax.scan(
+            iteration, (sub0, nod0, jnp.float32(1e-4)), None,
+            length=num_iterations)
         return sub, nod
 
     sharded = jax.shard_map(

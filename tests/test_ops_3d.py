@@ -227,6 +227,42 @@ class TestFastCorrelative3D:
             np.asarray(pose.translation), [0.6, -0.4, 0.1], atol=0.25)
         assert abs(float(quat.get_yaw(pose.rotation)) - 0.1) < 0.05
 
+    def test_dense_matches_beam(self):
+        """The dense MXU-bounds matcher (TPU production path) must agree
+        with the level-synchronous beam matcher (the executable
+        specification): both search the same (yaw, x, y, z) tree with
+        admissible bounds, so the recovered leaf must coincide."""
+        world = make_environment_3d(num=300, seed=4)
+        grid = build_grid_3d(world, resolution=0.2, size=64)
+        low = build_grid_3d(world, resolution=0.6, size=32)
+        pyramid = build_precomputation_pyramid_3d(grid.probability(), 4)
+        mask = jnp.ones(len(world), bool)
+        hist = compute_rotational_histogram(jnp.asarray(world), mask, 60)
+        params = FastCorrelativeMatcherParams3D(
+            branch_and_bound_depth=4,
+            min_rotational_score=0.5, min_low_resolution_score=0.3,
+            linear_xy_search_window=1.5, linear_z_search_window=0.4,
+            angular_search_window=math.radians(15.0),
+            beam_width=512, max_scan_range=6.0)
+        for tx, ty, tz, yaw in [(0.6, -0.4, 0.1, 0.1),
+                                (-0.5, 0.7, -0.2, -0.08)]:
+            true_pose = Rigid3(jnp.array([tx, ty, tz]),
+                               quat.from_yaw(jnp.array(yaw)))
+            scan = true_pose.inverse().apply(jnp.asarray(world))
+            scan_hist = compute_rotational_histogram(scan, mask, 60)
+            outs = {}
+            for m in ("beam", "dense"):
+                outs[m] = fast_correlative_match_3d(
+                    pyramid, grid, low, scan, mask, scan, mask,
+                    scan_hist, hist, Rigid3.identity(), params,
+                    min_score=0.3, method=m)
+            fb, sb, pb = outs["beam"][:3]
+            fd, sd, pd = outs["dense"][:3]
+            assert bool(fb) and bool(fd)
+            np.testing.assert_allclose(np.asarray(pd.translation),
+                                       np.asarray(pb.translation), atol=1e-6)
+            assert abs(float(sd) - float(sb)) < 1e-5
+
 
 class TestSpa3D:
     def test_chain_recovers(self):

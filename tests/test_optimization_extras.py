@@ -40,21 +40,39 @@ def test_odometry_constraints_pull_nodes():
     assert abs((n3[0] - n0[0]) - 3.0) < 0.05, (n0, n3)
 
 
-def test_fixed_frame_anchors_trajectory():
-    pg = make_graph_with_submaps(num_submaps=1, nodes_per_submap=3)
+def test_fixed_frame_learned_origin_corrects_relative_shape():
+    """Reference semantics (optimization_problem_2d.cc:351-394): the fixed
+    frame couples to the map through a LEARNED origin pose, so a constant
+    frame offset is gauge (absorbed by the origin) while the RELATIVE shape
+    of the GPS track constrains the nodes."""
+    pg = make_graph_with_submaps(num_submaps=1, nodes_per_submap=4)
     opts = apply_overrides(PoseGraphOptions(), {
         "optimization_problem.fixed_frame_pose_translation_weight": 1e6,
         "optimization_problem.fixed_frame_pose_rotation_weight": 0.0,
+        "optimization_problem.local_slam_pose_translation_weight": 1.0,
+        "optimization_problem.local_slam_pose_rotation_weight": 1.0,
     })
     pg._options = opts
-    # GPS says the whole trajectory sits at +10 in y.
-    for k, t in enumerate([0, 1000, 2000]):
+    for c in pg.constraints:
+        c.translation_weight = 0.01
+        c.rotation_weight = 0.01
+    # GPS (in a frame shifted by +10 y): consecutive nodes 1 m apart in x.
+    for k, t in enumerate([0, 1000, 2000, 3000]):
         pg.add_fixed_frame_pose_data(0, FixedFramePoseData(
-            time=t, pose_translation=np.array([0.0, 10.0, 0.0]),
+            time=t, pose_translation=np.array([1.0 * k, 10.0, 0.0]),
             pose_rotation=None))
-    pg.run_optimization(num_iterations=30)
-    for (tid, i), node in pg.nodes.items():
-        assert abs(node.global_pose_2d[1] - 10.0) < 0.1, node.global_pose_2d
+    pg.run_optimization(num_iterations=40)
+    n0 = pg.nodes[NodeId(0, 0)].global_pose_2d
+    n3 = pg.nodes[NodeId(0, 3)].global_pose_2d
+    # Relative GPS shape imposed on the nodes...
+    assert abs((n3[0] - n0[0]) - 3.0) < 0.05, (n0, n3)
+    # ...while the +10 y frame offset is absorbed by the learned origin,
+    # not by moving the trajectory.
+    assert abs(n0[1]) < 1.0, n0
+    assert 0 in pg.fixed_frame_origin
+    origin = pg.fixed_frame_origin[0]
+    # origin maps fixed-frame coords to map coords: y offset ~ -10.
+    assert abs(origin[1] + 10.0) < 1.0, origin
 
 
 def test_invalid_fix_ignored():
