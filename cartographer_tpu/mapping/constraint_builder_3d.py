@@ -1,0 +1,333 @@
+"""3D loop-closure constraint search [HOST orchestration + KERNEL matching].
+
+Reference: mapping/internal/constraints/constraint_builder_3d.cc — gated,
+sampled dispatch of (node, submap) scan-match tasks over a thread pool
+(:79-116), a per-submap matcher cache holding the precomputation pyramid
+plus the submap rotational histogram (:150-176), and a fast correlative
+match above min_score followed by a Gauss-Newton refine producing an
+INTER_SUBMAP constraint (:178-277).
+
+TPU design: the same batched production architecture as the 2D builder
+(constraint_builder_2d.py): instead of one thread-pool task per pair, all
+candidate pairs of a node are accumulated and dispatched as ONE vmapped
+device program (chunked to bound HBM — each pair carries dual-resolution
+grids + the uint8 pyramid), and when a device mesh with a `pairs` axis is
+available the chunk is shard_mapped across it — the multi-chip fan-out of
+SURVEY.md P1. Precomputation stacks are cached on device per submap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import threading
+from functools import lru_cache, partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cartographer_tpu.core.config import ConstraintBuilderOptions
+from cartographer_tpu.core.histogram import Histogram
+from cartographer_tpu.core.sampler import FixedRatioSampler
+from cartographer_tpu.mapping.id import NodeId, SubmapId
+from cartographer_tpu.ops.bnb_3d import (
+    FastCorrelativeMatcherParams3D,
+    PrecomputationStack3D,
+    build_precomputation_stack_3d,
+    fast_correlative_match_3d,
+)
+from cartographer_tpu.ops.grid_3d import Grid3D
+from cartographer_tpu.ops.scan_matcher_3d import (
+    GaussNewtonMatcherParams3D,
+    gauss_newton_match_3d,
+)
+from cartographer_tpu.transform.rigid import Rigid3
+
+# Pairs per device program. A 3D pair is far heavier than 2D (f32 dual-res
+# grids + uint8 pyramid: ~10 MB at 128^3 high/96^3 low, ~90 MB at 256^3),
+# so the chunk is kept smaller than the 2D builder's 16.
+_MAX_CHUNK_3D = 8
+
+# Point capacities for the matcher clouds (constraint search runs on
+# heavily voxel-filtered clouds; fast_correlative_scan_matcher_3d.cc scores
+# the full filtered cloud).
+_HIGH_CAP = 256
+_LOW_CAP = 512
+
+
+def _match_impl_3d(stack, high_grid, low_grid, high_pts, high_mask,
+                   low_pts, low_mask, scan_hist, submap_hist, init_vec,
+                   bnb_params, gn_params, min_score):
+    """BnB match + GN refine for one pair; vmapped over the pairs axis."""
+    init = Rigid3(init_vec[0:3], init_vec[3:7])
+    found, score, pose, rot_score, low_score = fast_correlative_match_3d(
+        stack, high_grid, low_grid, high_pts, high_mask, low_pts, low_mask,
+        scan_hist, submap_hist, init, bnb_params, min_score=min_score)
+    refined, _ = gauss_newton_match_3d(
+        high_grid, low_grid, high_pts, high_mask, low_pts, low_mask,
+        pose, gn_params)
+    out = jnp.concatenate([refined.translation, refined.rotation])
+    return score, out, rot_score, low_score
+
+
+@lru_cache(maxsize=None)
+def _batched_match_fn_3d(bnb_params, gn_params, min_score, mesh):
+    """Process-wide jitted batched 3D matcher: BnB + GN refine vmapped over
+    pairs, sharded over `mesh` when given. Shared across ALL builder
+    instances with the same options (a new trajectory must not recompile);
+    jit retraces per (batch, grid, points) shape bucket."""
+    matched = jax.vmap(partial(_match_impl_3d, bnb_params=bnb_params,
+                               gn_params=gn_params, min_score=min_score))
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        spec = P("pairs")
+        matched = jax.shard_map(
+            matched, mesh=mesh,
+            in_specs=(spec,) * 10,
+            out_specs=(spec, spec, spec, spec), check_vma=False)
+    return jax.jit(matched)
+
+
+@dataclasses.dataclass
+class MatchResult3D:
+    """One accepted inter-submap match: node pose in the GRID (local) frame
+    plus the scores the reference logs (fast_correlative_scan_matcher_3d.h
+    Result{score, pose_estimate, rotational_score, low_resolution_score})."""
+
+    submap_id: SubmapId
+    node_id: NodeId
+    grid_t: np.ndarray  # (3,)
+    grid_q: np.ndarray  # (4,)
+    score: float
+    rotational_score: float
+    low_resolution_score: float
+
+
+@dataclasses.dataclass
+class MatchRequest3D:
+    """One gated (node, submap) candidate awaiting batched matching."""
+
+    submap_id: SubmapId
+    node_id: NodeId
+    stack: PrecomputationStack3D
+    high_grid: Grid3D
+    low_grid: Grid3D
+    high_points: np.ndarray  # (n, 3)
+    low_points: np.ndarray  # (m, 3)
+    scan_histogram: np.ndarray
+    submap_histogram: np.ndarray
+    init_t: np.ndarray  # (3,) node translation estimate in the grid frame
+    init_q: np.ndarray  # (4,)
+
+
+class ConstraintBuilder3D:
+    def __init__(self, options: ConstraintBuilderOptions, mesh=None):
+        """`mesh` (jax.sharding.Mesh with a `pairs` axis) shards candidate
+        batches across chips; None runs vmapped on the default device."""
+        self._options = options
+        self._mesh = mesh
+        fcsm = options.fast_correlative_scan_matcher_3d
+        self._bnb_params = FastCorrelativeMatcherParams3D(
+            branch_and_bound_depth=fcsm.branch_and_bound_depth,
+            full_resolution_depth=fcsm.full_resolution_depth,
+            min_rotational_score=fcsm.min_rotational_score,
+            min_low_resolution_score=fcsm.min_low_resolution_score,
+            linear_xy_search_window=fcsm.linear_xy_search_window,
+            linear_z_search_window=fcsm.linear_z_search_window,
+            angular_search_window=fcsm.angular_search_window)
+        gn = options.ceres_scan_matcher_3d
+        self._gn_params = GaussNewtonMatcherParams3D(
+            occupied_space_weight_0=gn.occupied_space_weight_0,
+            occupied_space_weight_1=gn.occupied_space_weight_1,
+            translation_weight=gn.translation_weight,
+            rotation_weight=gn.rotation_weight,
+            only_optimize_yaw=gn.only_optimize_yaw,
+            num_iterations=gn.max_num_iterations)
+        self._samplers: Dict[SubmapId, FixedRatioSampler] = {}
+        # submap id -> (stack, high Grid3D, low Grid3D, histogram) cache
+        # (the reference's SubmapScanMatcher cache,
+        # constraint_builder_3d.cc:150-176).
+        self._matchers: Dict[SubmapId, Tuple] = {}
+        self.score_histogram = Histogram()
+        self.rotational_score_histogram = Histogram()
+        self.low_resolution_score_histogram = Histogram()
+        # RegisterMetrics (constraint_builder_3d.cc:345-390).
+        from cartographer_tpu import metrics as m
+        factory = m.GLOBAL_FACTORY
+        found = factory.new_counter_family(
+            "mapping_constraints_constraint_builder_3d_constraints",
+            "Constraints computed")
+        self._metric_found = found.add({"search_region": "local_search",
+                                        "matcher": "searched"})
+        scores = factory.new_histogram_family(
+            "mapping_constraints_constraint_builder_3d_scores",
+            "Constraint scores built", [0.05 * i for i in range(1, 20)])
+        self._metric_scores = scores.add({"search_region": "local_search",
+                                          "kind": "score"})
+        self._metric_rot_scores = scores.add(
+            {"search_region": "local_search", "kind": "rotational_score"})
+        self._metric_low_scores = scores.add(
+            {"search_region": "local_search", "kind": "low_resolution_score"})
+        # Guards sampler/matcher-cache state across background threads.
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------------------------ cache
+
+    def _matcher_for(self, submap_id: SubmapId, submap):
+        """Pyramid + dense-grid snapshot for a finished submap, built once
+        (DispatchScanMatcherConstruction, constraint_builder_3d.cc:150-176).
+        The dense crops come from the submap's paged pools on first access."""
+        with self._lock:
+            cached = self._matchers.get(submap_id)
+        if cached is not None:
+            return cached
+        high = submap.high_grid
+        low = submap.low_grid
+        if high is None or low is None:
+            return None
+        stack = build_precomputation_stack_3d(
+            high.probability(),
+            self._bnb_params.branch_and_bound_depth,
+            self._bnb_params.full_resolution_depth)
+        entry = (stack, high, low,
+                 np.asarray(submap.histogram, np.float32))
+        with self._lock:
+            # A concurrent duplicate build is idempotent; first writer wins.
+            return self._matchers.setdefault(submap_id, entry)
+
+    def remove_submap(self, submap_id: SubmapId) -> None:
+        with self._lock:
+            self._matchers.pop(submap_id, None)
+            self._samplers.pop(submap_id, None)
+
+    # ------------------------------------------------------------------ gating
+
+    def begin_constraint(
+        self, submap_id: SubmapId, submap, node_id: NodeId,
+        high_points: np.ndarray, low_points: np.ndarray,
+        scan_histogram: np.ndarray, init_t: np.ndarray, init_q: np.ndarray,
+        relative_distance: float = 0.0,
+    ) -> Optional[MatchRequest3D]:
+        """MaybeAddConstraint gates (constraint_builder_3d.cc:79-103):
+        max_constraint_distance + per-submap sampling. Returns a request
+        for `compute_constraints`, or None when gated off."""
+        if len(high_points) == 0:
+            return None
+        if relative_distance > self._options.max_constraint_distance:
+            return None
+        with self._lock:
+            sampler = self._samplers.setdefault(
+                submap_id, FixedRatioSampler(self._options.sampling_ratio))
+            if not sampler.pulse():
+                return None
+        matcher = self._matcher_for(submap_id, submap)
+        if matcher is None:
+            return None
+        stack, high, low, submap_hist = matcher
+        return MatchRequest3D(
+            submap_id=submap_id, node_id=node_id, stack=stack,
+            high_grid=high, low_grid=low,
+            high_points=np.asarray(high_points, np.float32)[:, :3],
+            low_points=np.asarray(low_points, np.float32)[:, :3],
+            scan_histogram=np.asarray(scan_histogram, np.float32),
+            submap_histogram=submap_hist,
+            init_t=np.asarray(init_t, np.float64),
+            init_q=np.asarray(init_q, np.float64))
+
+    # ------------------------------------------------------------------ API
+
+    def compute_constraints(self, requests: List[MatchRequest3D]
+                            ) -> List[MatchResult3D]:
+        """Match a batch of gated candidate pairs in as few device programs
+        as possible: requests group by grid-shape bucket, pad to a
+        mesh-divisible batch, and run through one vmapped (and, on a mesh,
+        pairs-sharded) program per chunk — ONE host sync per chunk."""
+        results: List[MatchResult3D] = []
+        groups: Dict[Tuple[int, int], List[MatchRequest3D]] = {}
+        for r in requests:
+            groups.setdefault(
+                (r.high_grid.size, r.low_grid.size), []).append(r)
+        for group in groups.values():
+            for i in range(0, len(group), _MAX_CHUNK_3D):
+                results.extend(self._compute_chunk(group[i:i + _MAX_CHUNK_3D]))
+        return results
+
+    def _compute_chunk(self, group: List[MatchRequest3D]
+                       ) -> List[MatchResult3D]:
+        B = len(group)
+        bcap = 1 << math.ceil(math.log2(max(B, 1)))
+        use_mesh = (self._mesh is not None
+                    and bcap >= self._mesh.devices.size)
+        if use_mesh:
+            m = self._mesh.devices.size
+            bcap = ((bcap + m - 1) // m) * m
+
+        def padded(items):
+            return items + [items[0]] * (bcap - len(items))
+
+        stacks = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *padded([r.stack for r in group]))
+        highs = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *padded([r.high_grid for r in group]))
+        lows = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *padded([r.low_grid for r in group]))
+
+        def pad_clouds(clouds, cap):
+            pts = np.zeros((bcap, cap, 3), np.float32)
+            mask = np.zeros((bcap, cap), bool)
+            for i, c in enumerate(clouds):
+                n = min(len(c), cap)
+                pts[i, :n] = c[:n]
+                mask[i, :n] = True
+            return jnp.asarray(pts), jnp.asarray(mask)
+
+        high_pts, high_mask = pad_clouds(
+            padded([r.high_points for r in group]), _HIGH_CAP)
+        low_pts, low_mask = pad_clouds(
+            padded([r.low_points for r in group]), _LOW_CAP)
+        shist = jnp.asarray(np.stack(
+            padded([r.scan_histogram for r in group])).astype(np.float32))
+        subhist = jnp.asarray(np.stack(
+            padded([r.submap_histogram for r in group])).astype(np.float32))
+        inits = np.zeros((bcap, 7), np.float32)
+        for i, r in enumerate(group):
+            inits[i, 0:3] = r.init_t
+            inits[i, 3:7] = r.init_q
+        inits[B:, 3] = 1.0
+
+        fn = _batched_match_fn_3d(
+            self._bnb_params, self._gn_params,
+            float(self._options.min_score),
+            self._mesh if use_mesh else None)
+        scores, poses, rot_scores, low_scores = fn(
+            stacks, highs, lows, high_pts, high_mask, low_pts, low_mask,
+            shist, subhist, jnp.asarray(inits))
+        # One host sync for the whole chunk.
+        scores = np.asarray(scores)
+        poses = np.asarray(poses)
+        rot_scores = np.asarray(rot_scores)
+        low_scores = np.asarray(low_scores)
+
+        min_score = self._options.min_score
+        out = []
+        for i, r in enumerate(group):
+            score = float(scores[i])
+            self.score_histogram.add(score)
+            self._metric_scores.observe(score)
+            self._metric_rot_scores.observe(float(rot_scores[i]))
+            self._metric_low_scores.observe(float(low_scores[i]))
+            if score <= min_score or not np.all(np.isfinite(poses[i])):
+                continue
+            self.rotational_score_histogram.add(float(rot_scores[i]))
+            self.low_resolution_score_histogram.add(float(low_scores[i]))
+            self._metric_found.increment()
+            q = np.asarray(poses[i, 3:7], np.float64)
+            q = q / max(np.linalg.norm(q), 1e-12)
+            out.append(MatchResult3D(
+                submap_id=r.submap_id, node_id=r.node_id,
+                grid_t=np.asarray(poses[i, 0:3], np.float64), grid_q=q,
+                score=score, rotational_score=float(rot_scores[i]),
+                low_resolution_score=float(low_scores[i])))
+        return out

@@ -235,7 +235,8 @@ class MapBuilder:
         if options.use_trajectory_builder_3d:
             from cartographer_tpu.mapping.pose_graph_3d import PoseGraph3D
             self.pose_graph = PoseGraph3D(options.pose_graph,
-                                          num_background_threads=threads)
+                                          num_background_threads=threads,
+                                          mesh=mesh)
         else:
             self.pose_graph = PoseGraph2D(options.pose_graph,
                                           num_background_threads=threads,

@@ -19,22 +19,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from cartographer_tpu.core.config import PoseGraphOptions
-from cartographer_tpu.core.sampler import FixedRatioSampler
 from cartographer_tpu.core.time import Time
 from cartographer_tpu.mapping.id import MapById, NodeId, SubmapId
+from cartographer_tpu.mapping.constraint_builder_3d import ConstraintBuilder3D
 from cartographer_tpu.mapping.submap_3d import Submap3D
-from cartographer_tpu.ops.bnb_3d import (
-    FastCorrelativeMatcherParams3D,
-    build_precomputation_pyramid_3d,
-    fast_correlative_match_3d,
-)
-from cartographer_tpu.ops.scan_matcher_3d import (
-    GaussNewtonMatcherParams3D,
-    gauss_newton_match_3d,
-)
-from cartographer_tpu.ops.spa_3d import SpaProblem3D, solve_spa_3d
+
 from cartographer_tpu.transform import nquat
-from cartographer_tpu.transform.rigid import Rigid3
 
 
 @dataclasses.dataclass
@@ -110,12 +100,15 @@ def _interpolate_fixed_frame(traj_ff, ff_times, time):
 
 
 class PoseGraph3D:
-    def __init__(self, options: PoseGraphOptions, num_background_threads: int = 0):
+    def __init__(self, options: PoseGraphOptions,
+                 num_background_threads: int = 0, mesh=None):
         """`num_background_threads` > 0 enables the reference's pipelined
         frontend/backend concurrency (P2): constraint searches run on a pool
         and SPA solves on a dedicated optimizer thread, with the frontend
-        never blocking (pose_graph_3d.cc work-queue model)."""
+        never blocking (pose_graph_3d.cc work-queue model). `mesh` (with a
+        `pairs` axis) shards loop-closure batches across chips (P1)."""
         self._options = options
+        self._mesh = mesh
         # Metrics (pose_graph_3d.cc RegisterMetrics: work-queue gauges +
         # constraint counters; VERDICT r2 weak #7).
         from cartographer_tpu import metrics as m
@@ -145,35 +138,16 @@ class PoseGraph3D:
                 thread_name_prefix="constraint3d")
             self._optimizer_executor = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="optimizer3d")
-        cb = options.constraint_builder
-        fcsm = cb.fast_correlative_scan_matcher_3d
-        self._bnb_params = FastCorrelativeMatcherParams3D(
-            branch_and_bound_depth=fcsm.branch_and_bound_depth,
-            full_resolution_depth=fcsm.full_resolution_depth,
-            min_rotational_score=fcsm.min_rotational_score,
-            min_low_resolution_score=fcsm.min_low_resolution_score,
-            linear_xy_search_window=fcsm.linear_xy_search_window,
-            linear_z_search_window=fcsm.linear_z_search_window,
-            angular_search_window=fcsm.angular_search_window)
-        gn = cb.ceres_scan_matcher_3d
-        self._gn_params = GaussNewtonMatcherParams3D(
-            occupied_space_weight_0=gn.occupied_space_weight_0,
-            occupied_space_weight_1=gn.occupied_space_weight_1,
-            translation_weight=gn.translation_weight,
-            rotation_weight=gn.rotation_weight,
-            only_optimize_yaw=gn.only_optimize_yaw,
-            num_iterations=gn.max_num_iterations)
+        self._constraint_builder = ConstraintBuilder3D(
+            options.constraint_builder, mesh=mesh)
 
         self.nodes: MapById[TrajectoryNode3D] = MapById()
         self.submap_data: MapById[SubmapDataEntry3D] = MapById()
         self.constraints: List[Constraint3D] = []
         self._num_nodes_since_last_optimization = 0
-        self._samplers: Dict[SubmapId, FixedRatioSampler] = {}
-        self._pyramids: Dict[SubmapId, jnp.ndarray] = {}
         self._frozen_trajectories: Set[int] = set()
         from cartographer_tpu.mapping.connectivity import TrajectoryConnectivityState
         self._connectivity = TrajectoryConnectivityState()
-        self._match_fn = None  # jitted lazily per grid shape
         from cartographer_tpu.sensor.map_by_time import MapByTime
         self._imu_data: MapByTime = MapByTime()
         self._odometry_data: MapByTime = MapByTime()
@@ -347,8 +321,7 @@ class PoseGraph3D:
                     nid = NodeId(tid, nindex)
                     if nid not in entry.node_ids:
                         pairs.append((nid, sid))
-        for nid, sid in pairs:
-            self._schedule_constraint(nid, sid)
+        self._schedule_constraints(pairs)
 
         self._num_nodes_since_last_optimization += 1
         if (self._options.optimize_every_n_nodes > 0
@@ -357,16 +330,26 @@ class PoseGraph3D:
             self._schedule_optimization()
         return node_id
 
-    def _schedule_constraint(self, node_id: NodeId, submap_id: SubmapId) -> None:
+    def _schedule_constraints(self, pairs) -> None:
+        """Dispatch all of a node's candidate (node, submap) pairs as ONE
+        batched search task (vmapped/mesh-sharded device program inside),
+        inline or on the background pool (the device work releases the GIL).
+        This is the production form of the reference's per-pair thread-pool
+        fan-out (constraint_builder_3d.cc:79-116)."""
+        if not pairs:
+            return
         if self._executor is None:
-            self._compute_constraint(node_id, submap_id)
+            self._compute_constraints_batch(pairs)
         else:
             with self._futures_lock:
                 self._pending_futures.append(
                     self._executor.submit(
-                        self._compute_constraint, node_id, submap_id))
+                        self._compute_constraints_batch, pairs))
                 self._metric_pending.set(
                     sum(1 for f in self._pending_futures if not f.done()))
+
+    def _schedule_constraint(self, node_id: NodeId, submap_id: SubmapId) -> None:
+        self._schedule_constraints([(node_id, submap_id)])
 
     def wait_for_all_computations(self) -> None:
         """Drain pending searches + in-flight solve (see 2D docstring)."""
@@ -419,103 +402,114 @@ class PoseGraph3D:
 
     # ---------------------------------------------------------- loop closure
 
-    def _compute_constraint(self, node_id: NodeId, submap_id: SubmapId) -> None:
-        with self._result_lock:
-            node = self.nodes[node_id]
-            entry = self.submap_data[submap_id]
-            if entry.submap.high_grid is None or len(node.high_res_cloud) == 0:
-                return
-            anchor_t = np.asarray(entry.submap.local_pose_translation, float)
-            # Node estimate in the grid (local) frame:
-            # anchor * (submap^-1 * node).
-            inv_t, inv_q = _inverse(entry.global_t, entry.global_q)
-            rel_t, rel_q = _compose(inv_t, inv_q, node.global_t, node.global_q)
-            init_t = anchor_t + rel_t
-            if (np.linalg.norm(rel_t)
-                    > self._options.constraint_builder.max_constraint_distance):
-                return
-            sampler = self._samplers.setdefault(
-                submap_id,
-                FixedRatioSampler(self._options.constraint_builder.sampling_ratio))
-            if not sampler.pulse():
-                return
-            pyramid = self._pyramids.get(submap_id)
+    def _compute_constraints_batch(self, pairs) -> None:
+        """ComputeConstraint (pose_graph_3d.cc) over a batch of
+        (node_id, submap_id) pairs: distance + sampling gates, then all
+        surviving requests matched in one batched device dispatch
+        (constraint_builder_3d.compute_constraints).
 
-        if pyramid is None:
-            # Built outside the lock (device work); a duplicate concurrent
-            # build is idempotent, last writer wins.
-            pyramid = build_precomputation_pyramid_3d(
-                entry.submap.high_grid.probability(),
-                self._bnb_params.branch_and_bound_depth,
-                self._bnb_params.full_resolution_depth)
+        Frames: grids live in the trajectory-local frame; each submap's SPA
+        frame is anchored at the submap origin (pure translation), so
+        grid-frame pose = anchor + rel and constraint rel = grid_pose -
+        anchor (submaps are yaw-anchored at identity rotation)."""
+        requests = []
+        anchors = {}
+        node_times = {}
+        for node_id, submap_id in pairs:
             with self._result_lock:
-                self._pyramids[submap_id] = pyramid
+                node = self.nodes.get(node_id)
+                entry = self.submap_data.get(submap_id)
+                if node is None or entry is None:
+                    continue
+                anchor_t = np.asarray(entry.submap.local_pose_translation,
+                                      float)
+                # Node estimate in the grid (local) frame:
+                # anchor * (submap^-1 * node).
+                inv_t, inv_q = _inverse(entry.global_t, entry.global_q)
+                rel_t, rel_q = _compose(inv_t, inv_q,
+                                        node.global_t, node.global_q)
+                submap = entry.submap
+                high_cloud = node.high_res_cloud
+                low_cloud = node.low_res_cloud
+                scan_hist = node.scan_histogram
+                ntime = node.time
+            req = self._constraint_builder.begin_constraint(
+                submap_id, submap, node_id, high_cloud, low_cloud,
+                scan_hist, anchor_t + rel_t, rel_q,
+                relative_distance=float(np.linalg.norm(rel_t)))
+            if req is not None:
+                requests.append(req)
+                anchors[(node_id, submap_id)] = anchor_t
+                node_times[node_id] = ntime
 
-        def pad_cloud(cloud, cap):
-            out = np.zeros((cap, 3), np.float32)
-            m = np.zeros(cap, bool)
-            k = min(len(cloud), cap)
-            out[:k] = cloud[:k]
-            m[:k] = True
-            return jnp.asarray(out), jnp.asarray(m)
-
-        high_pts, high_mask = pad_cloud(node.high_res_cloud, 256)
-        low_pts, low_mask = pad_cloud(node.low_res_cloud, 512)
-
-        found, score, pose, rot_score, low_score = fast_correlative_match_3d(
-            pyramid, entry.submap.high_grid, entry.submap.low_grid,
-            high_pts, high_mask, low_pts, low_mask,
-            jnp.asarray(node.scan_histogram, jnp.float32),
-            jnp.asarray(entry.submap.histogram, jnp.float32),
-            Rigid3(jnp.asarray(init_t, jnp.float32),
-                   jnp.asarray(rel_q, jnp.float32)),
-            self._bnb_params,
-            min_score=self._options.constraint_builder.min_score)
-        if not bool(found):
-            return
-        refined, _ = gauss_newton_match_3d(
-            entry.submap.high_grid, entry.submap.low_grid,
-            high_pts, high_mask, low_pts, low_mask,
-            pose, self._gn_params)
-        grid_t = np.asarray(refined.translation, float)
-        grid_q = nquat.normalize(np.asarray(refined.rotation, float))
-        with self._result_lock:
-            self.constraints.append(Constraint3D(
-                submap_id=submap_id, node_id=node_id,
-                rel_t=grid_t - anchor_t, rel_q=grid_q,
-                translation_weight=self._options.constraint_builder.loop_closure_translation_weight,
-                rotation_weight=self._options.constraint_builder.loop_closure_rotation_weight,
-                tag="INTER_SUBMAP"))
-            self._union(node_id.trajectory_id, submap_id.trajectory_id, node.time)
-        self._metric_inter.increment()
+        for res in self._constraint_builder.compute_constraints(requests):
+            anchor_t = anchors[(res.node_id, res.submap_id)]
+            with self._result_lock:
+                # A trimmer may have removed either endpoint while the
+                # search ran; a dangling constraint must not be appended.
+                if (res.submap_id not in self.submap_data
+                        or res.node_id not in self.nodes):
+                    continue
+                self.constraints.append(Constraint3D(
+                    submap_id=res.submap_id, node_id=res.node_id,
+                    rel_t=res.grid_t - anchor_t,
+                    rel_q=nquat.normalize(res.grid_q),
+                    translation_weight=self._options.constraint_builder.loop_closure_translation_weight,
+                    rotation_weight=self._options.constraint_builder.loop_closure_rotation_weight,
+                    tag="INTER_SUBMAP"))
+                self._union(res.node_id.trajectory_id,
+                            res.submap_id.trajectory_id,
+                            node_times[res.node_id])
+            self._metric_inter.increment()
 
     # ---------------------------------------------------------- optimization
 
     def run_optimization(self, num_iterations: Optional[int] = None) -> None:
+        """Build the SE(3) SPA problem and solve.
+
+        Production solver: the reduced/node-partitioned Schur-complement
+        Gauss-Newton (parallel/schur_spa_3d.py) — node blocks (banded by the
+        consecutive-node chains and IMU acceleration triplets) eliminated
+        against the few reduced blocks (submaps, GPS origins, landmarks,
+        per-trajectory IMU variables), constraints sharded over the mesh
+        when present. No (6V)^2 system is ever materialized (reference:
+        sparse Ceres solve, optimization_problem_3d.cc:566-567).
+        """
         self.wait_for_all_computations()
         self._metric_optimizations.increment()
         if self.submap_data.empty() or not self.constraints:
             self._num_nodes_since_last_optimization = 0
             return
         num_iterations = num_iterations or self._options.optimization_problem.max_num_iterations
+        op = self._options.optimization_problem
 
         # Snapshot the problem under the graph lock; the solve below runs
         # lock-free while the frontend appends (tail extrapolated after).
         self._result_lock.acquire()
         try:
+            # Reduced-side slots: submaps first; GPS origins, landmarks and
+            # per-trajectory IMU blocks appended after (none couple to each
+            # other — the two-block Schur structure holds).
             submap_slots: Dict[SubmapId, int] = {}
             node_slots: Dict[NodeId, int] = {}
-            ts, qs, fixed = [], [], []
+            sub_ts, sub_qs, sub_free, grav_clamp = [], [], [], []
+            nod_ts, nod_qs, nod_free = [], [], []
+            free6 = np.ones(6, bool)
+            if op.fix_z_in_3d:
+                free6 = np.array([True, True, False, True, True, True])
             for (tid, sindex), entry in self.submap_data.items():
-                submap_slots[SubmapId(tid, sindex)] = len(ts)
-                ts.append(entry.global_t)
-                qs.append(entry.global_q)
-                fixed.append(tid in self._frozen_trajectories or len(ts) == 1)
+                submap_slots[SubmapId(tid, sindex)] = len(sub_ts)
+                sub_ts.append(entry.global_t)
+                sub_qs.append(entry.global_q)
+                frozen = tid in self._frozen_trajectories or len(sub_ts) == 1
+                sub_free.append(np.zeros(6, bool) if frozen else free6)
+                grav_clamp.append(False)
             for (tid, nindex), node in self.nodes.items():
-                node_slots[NodeId(tid, nindex)] = len(ts)
-                ts.append(node.global_t)
-                qs.append(node.global_q)
-                fixed.append(tid in self._frozen_trajectories)
+                node_slots[NodeId(tid, nindex)] = len(nod_ts)
+                nod_ts.append(node.global_t)
+                nod_qs.append(node.global_q)
+                nod_free.append(np.zeros(6, bool)
+                                if tid in self._frozen_trajectories else free6)
             tail_anchor: Dict[int, SubmapId] = {}
             for (tid, sindex), _ in self.submap_data.items():
                 tail_anchor[tid] = SubmapId(tid, sindex)
@@ -524,6 +518,7 @@ class PoseGraph3D:
                       self.submap_data[sid].global_q.copy())
                 for tid, sid in tail_anchor.items()}
 
+            # --- binary reduced-node constraints (INTRA/INTER) -----------
             a_idx, b_idx, rel_t, rel_q, tw, rw, hub = [], [], [], [], [], [], []
             for c in self.constraints:
                 if c.submap_id not in submap_slots or c.node_id not in node_slots:
@@ -536,23 +531,44 @@ class PoseGraph3D:
                 rw.append(c.rotation_weight)
                 hub.append(c.tag == "INTER_SUBMAP")
 
-            # Consecutive-node local-SLAM constraints + IMU rotation constraints
-            # (optimization_problem_3d.cc odometry/local/RotationCostFunction3D),
-            # and acceleration triplets (AccelerationCostFunction3D). Both IMU
-            # blocks reference a per-trajectory (gravity, imu_calibration)
-            # variable block (optimization_problem_3d.cc:365-446).
-            op = self._options.optimization_problem
-            acc_i, acc_j, acc_k, acc_dv = [], [], [], []
-            acc_dt1, acc_dt2, acc_w, acc_traj = [], [], [], []
-            rot_i, rot_j, rot_dq, rot_w, rot_traj = [], [], [], [], []
+            # --- consecutive-node chains + IMU terms ---------------------
+            # Local-SLAM/odometry relative constraints couple (j, j+1); the
+            # gyro rotation constraints couple (i, i+1) + the trajectory
+            # block; acceleration triplets couple (i, i+1, i+2) + the
+            # trajectory block (optimization_problem_3d.cc:365-487). Node
+            # slots of one trajectory are contiguous (MapById iterates
+            # per-trajectory in index order), so the node Hessian is banded
+            # with half-bandwidth 2.
+            j_idx, nn_t, nn_q, nn_tw, nn_rw = [], [], [], [], []
+            acc_i, acc_traj, acc_dv = [], [], []
+            acc_dt1, acc_dt2, acc_w = [], [], []
+            rot_i, rot_traj, rot_dq, rot_w = [], [], [], []
             traj_slots: Dict[int, int] = {}
+
+            def traj_slot_of(tid):
+                # Per-trajectory IMU variable block: gravity in t[0], the
+                # calibration quaternion in q (TrajectoryData). Allocated as
+                # a reduced slot on first IMU residual.
+                if tid not in traj_slots:
+                    td = self.trajectory_data.get(tid, {})
+                    g = float(td.get("gravity_constant", 9.8))
+                    calib = np.asarray(
+                        td.get("imu_calibration", np.array([1.0, 0, 0, 0])),
+                        np.float64)
+                    traj_slots[tid] = len(sub_ts)
+                    sub_ts.append(np.array([g, 0.0, 0.0]))
+                    sub_qs.append(calib)
+                    learn_g = True  # freed whenever IMU residuals exist
+                    learn_c = bool(op.use_online_imu_extrinsics_in_3d)
+                    sub_free.append(np.array(
+                        [learn_g, False, False] + [learn_c] * 3))
+                    grav_clamp.append(True)
+                return traj_slots[tid]
+
             for tid in self.nodes.trajectory_ids():
                 if tid in self._frozen_trajectories:
                     continue
                 items = self.nodes.trajectory(tid)
-                # Odometry relative constraints (CalculateOdometryBetweenNodes,
-                # optimization_problem_3d.cc:469-487 — the reference adds them
-                # in fix_z mode where IMU blocks are absent); one sorted sweep.
                 odo = (self._odometry_poses_at_3d(tid, [n.time for _, n in items])
                        if op.fix_z_in_3d else None)
                 for k, ((i1, n1), (i2, n2)) in enumerate(zip(items, items[1:])):
@@ -565,36 +581,29 @@ class PoseGraph3D:
                                             n1.local_pose_rotation)
                     r_t, r_q = _compose(inv_t, inv_q, n2.local_pose_translation,
                                         n2.local_pose_rotation)
-                    a_idx.append(node_slots[NodeId(tid, i1)])
-                    b_idx.append(node_slots[NodeId(tid, i2)])
-                    rel_t.append(r_t)
-                    rel_q.append(r_q)
-                    tw.append(op.local_slam_pose_translation_weight)
-                    rw.append(op.local_slam_pose_rotation_weight)
-                    hub.append(False)
+                    j_idx.append(node_slots[NodeId(tid, i1)])
+                    nn_t.append(r_t)
+                    nn_q.append(r_q)
+                    nn_tw.append(op.local_slam_pose_translation_weight)
+                    nn_rw.append(op.local_slam_pose_rotation_weight)
                     if op.fix_z_in_3d:
                         if odo[k] is not None and odo[k + 1] is not None:
                             o_inv = _inverse(*odo[k])
                             o_t, o_q = _compose(*o_inv, *odo[k + 1])
-                            a_idx.append(node_slots[NodeId(tid, i1)])
-                            b_idx.append(node_slots[NodeId(tid, i2)])
-                            rel_t.append(o_t)
-                            rel_q.append(o_q)
-                            tw.append(op.odometry_translation_weight)
-                            rw.append(op.odometry_rotation_weight)
-                            hub.append(False)
+                            j_idx.append(node_slots[NodeId(tid, i1)])
+                            nn_t.append(o_t)
+                            nn_q.append(o_q)
+                            nn_tw.append(op.odometry_translation_weight)
+                            nn_rw.append(op.odometry_rotation_weight)
                         continue  # no IMU blocks in fix_z mode (reference :354)
                     dt12 = max((n2.time - n1.time) * 1e-6, 1e-3)
                     imu = self._integrate_imu(tid, n1.time, n2.time)
                     if imu is not None:
-                        if tid not in traj_slots:
-                            traj_slots[tid] = len(traj_slots)
                         # RotationCostFunction3D, scaling rotation_weight / dt.
                         rot_i.append(node_slots[NodeId(tid, i1)])
-                        rot_j.append(node_slots[NodeId(tid, i2)])
+                        rot_traj.append(traj_slot_of(tid))
                         rot_dq.append(imu[0])
                         rot_w.append(op.rotation_weight / dt12)
-                        rot_traj.append(traj_slots[tid])
                 if op.fix_z_in_3d:
                     continue
                 # Acceleration triplets over consecutive node triples: delta_v
@@ -614,25 +623,21 @@ class PoseGraph3D:
                     # delta velocity into the IMU frame at node 2.
                     q_2_to_c1 = nquat.multiply(nquat.conjugate(full[0]), to_c1[0])
                     dv = nquat.rotate(q_2_to_c1, c1_to_c2[1])
-                    if tid not in traj_slots:
-                        traj_slots[tid] = len(traj_slots)
                     dt1 = max((n2.time - n1.time) * 1e-6, 1e-3)
                     dt2 = max((n3.time - n2.time) * 1e-6, 1e-3)
                     acc_i.append(node_slots[NodeId(tid, i1)])
-                    acc_j.append(node_slots[NodeId(tid, i2)])
-                    acc_k.append(node_slots[NodeId(tid, i3)])
+                    acc_traj.append(traj_slot_of(tid))
                     acc_dv.append(dv)
                     acc_dt1.append(dt1)
                     acc_dt2.append(dt2)
                     acc_w.append(op.acceleration_weight / (dt1 + dt2))
-                    acc_traj.append(traj_slots[tid])
 
             # --- fixed-frame (GPS) constraints -------------------------------
             # optimization_problem_3d.cc:505-560: per trajectory a learned
-            # yaw-only fixed-frame origin pose; each node inside the fix time
-            # range gets an SE(3) constraint origin->node whose measurement is
-            # the time-interpolated fix. TolerantLoss maps to the Huber flag.
-            yaw_only = [False] * len(ts)
+            # yaw-only fixed-frame origin pose (a reduced slot); each node
+            # inside the fix time range gets an SE(3) constraint origin->node
+            # whose measurement is the time-interpolated fix. TolerantLoss
+            # maps to the Huber flag.
             ff_origin_slots: Dict[int, int] = {}
             for tid in self.nodes.trajectory_ids():
                 traj_ff = self._fixed_frame_data.trajectory(tid)
@@ -655,11 +660,14 @@ class PoseGraph3D:
                             o_t, o_q = _compose(node.global_t, node.global_q,
                                                 inv_t, inv_q)
                             o_q = nquat.from_yaw(nquat.get_yaw(o_q))
-                        ff_origin_slots[tid] = len(ts)
-                        ts.append(np.asarray(o_t, np.float64))
-                        qs.append(np.asarray(o_q, np.float64))
-                        fixed.append(False)
-                        yaw_only.append(True)
+                        ff_origin_slots[tid] = len(sub_ts)
+                        sub_ts.append(np.asarray(o_t, np.float64))
+                        sub_qs.append(np.asarray(o_q, np.float64))
+                        # YawOnlyQuaternionPlus: body x/y rotation tangents
+                        # frozen (optimization_problem_3d.cc:540-551).
+                        sub_free.append(np.array(
+                            [True, True, True, False, False, True]))
+                        grav_clamp.append(False)
                     a_idx.append(ff_origin_slots[tid])
                     b_idx.append(node_slots[NodeId(tid, nindex)])
                     rel_t.append(np.asarray(fix_t, np.float64))
@@ -670,9 +678,10 @@ class PoseGraph3D:
                     hub.append(op.fixed_frame_pose_use_tolerant_loss)
 
             # --- landmarks (landmark_cost_function_3d.h) ---------------------
-            # One SE(3) slot per landmark id; the observation couples it to the
-            # time-nearest node (nearest-node instead of the reference's
-            # two-node interpolation, matching the 2D design).
+            # One reduced SE(3) slot per landmark id; the observation couples
+            # it to the time-nearest node with the constraint expressed
+            # landmark-side: rel = obs^-1 (node pose in the landmark frame),
+            # so landmarks Schur-eliminate like submaps.
             landmark_slots: Dict[str, int] = {}
             for tid, data in self._landmark_observations:
                 node_items = self.nodes.trajectory(tid)
@@ -688,132 +697,65 @@ class PoseGraph3D:
                     obs_q = np.asarray(
                         obs.landmark_to_tracking_transform_rotation, np.float64)
                     if obs.id not in landmark_slots:
-                        landmark_slots[obs.id] = len(ts)
+                        landmark_slots[obs.id] = len(sub_ts)
                         if obs.id in self.landmark_poses:
                             p = np.asarray(self.landmark_poses[obs.id], np.float64)
-                            ts.append(p[:3])
-                            qs.append(nquat.normalize(p[3:7]))
-                            fixed.append(obs.id in self._frozen_landmarks)
+                            sub_ts.append(p[:3])
+                            sub_qs.append(nquat.normalize(p[3:7]))
+                            sub_free.append(
+                                np.zeros(6, bool)
+                                if obs.id in self._frozen_landmarks
+                                else np.ones(6, bool))
                         else:
                             l_t, l_q = _compose(nearest_node.global_t,
                                                 nearest_node.global_q,
                                                 obs_t, obs_q)
-                            ts.append(l_t)
-                            qs.append(l_q)
-                            fixed.append(False)
-                        yaw_only.append(False)
-                    a_idx.append(node_slots[NodeId(tid, nearest_index)])
-                    b_idx.append(landmark_slots[obs.id])
-                    rel_t.append(obs_t)
-                    rel_q.append(obs_q)
+                            sub_ts.append(l_t)
+                            sub_qs.append(l_q)
+                            sub_free.append(np.ones(6, bool))
+                        grav_clamp.append(False)
+                    io_t, io_q = _inverse(obs_t, obs_q)
+                    a_idx.append(landmark_slots[obs.id])
+                    b_idx.append(node_slots[NodeId(tid, nearest_index)])
+                    rel_t.append(io_t)
+                    rel_q.append(io_q)
                     tw.append(obs.translation_weight)
                     rw.append(obs.rotation_weight)
                     hub.append(False)
-
-            C = len(a_idx)
-            cap = 1 << int(np.ceil(np.log2(max(C, 16))))
-
-            def pad(arr, shape, dtype):
-                out = np.zeros(shape, dtype)
-                out[: len(arr)] = arr
-                return out
-
-            rel_q_pad = pad(rel_q, (cap, 4), np.float32)
-            rel_q_pad[C:, 0] = 1.0
-            A = len(acc_i)
-            R = len(rot_i)
-            imu_kwargs = {}
-            num_traj = len(traj_slots)
-            if num_traj > 0:
-                # Per-trajectory variable blocks seeded from the persisted
-                # TrajectoryData (gravity defaults to the reference's 9.8,
-                # optimization_problem_3d.h TrajectoryData).
-                g_init = np.full((num_traj,), 9.8, np.float32)
-                c_init = np.tile(np.array([[1.0, 0, 0, 0]], np.float32),
-                                 (num_traj, 1))
-                for tid, slot in traj_slots.items():
-                    data = self.trajectory_data.get(tid)
-                    if data is not None:
-                        g_init[slot] = data.get("gravity_constant", 9.8)
-                        c_init[slot] = data.get("imu_calibration",
-                                                np.array([1.0, 0, 0, 0]))
-                imu_kwargs.update(
-                    gravity_init=jnp.asarray(g_init),
-                    imu_calibration_init=jnp.asarray(c_init))
-            if A > 0:
-                acap = 1 << int(np.ceil(np.log2(max(A, 8))))
-                imu_kwargs.update(
-                    acc_i=jnp.asarray(pad(acc_i, (acap,), np.int32)),
-                    acc_j=jnp.asarray(pad(acc_j, (acap,), np.int32)),
-                    acc_k=jnp.asarray(pad(acc_k, (acap,), np.int32)),
-                    acc_delta_v=jnp.asarray(pad(acc_dv, (acap, 3), np.float32)),
-                    acc_dt1=jnp.asarray(pad(acc_dt1, (acap,), np.float32) + 1e-3),
-                    acc_dt2=jnp.asarray(pad(acc_dt2, (acap,), np.float32) + 1e-3),
-                    acc_weight=jnp.asarray(pad(acc_w, (acap,), np.float32)),
-                    acc_valid=jnp.asarray(np.arange(acap) < A),
-                    acc_traj=jnp.asarray(pad(acc_traj, (acap,), np.int32)))
-            if R > 0:
-                rcap = 1 << int(np.ceil(np.log2(max(R, 8))))
-                rot_dq_pad = pad(rot_dq, (rcap, 4), np.float32)
-                rot_dq_pad[R:, 0] = 1.0
-                imu_kwargs.update(
-                    rot_i=jnp.asarray(pad(rot_i, (rcap,), np.int32)),
-                    rot_j=jnp.asarray(pad(rot_j, (rcap,), np.int32)),
-                    rot_delta_q=jnp.asarray(rot_dq_pad),
-                    rot_c_weight=jnp.asarray(pad(rot_w, (rcap,), np.float32)),
-                    rot_valid=jnp.asarray(np.arange(rcap) < R),
-                    rot_traj=jnp.asarray(pad(rot_traj, (rcap,), np.int32)))
         finally:
             # A failed snapshot must not leak the graph lock and
             # deadlock every subsequent add_node/query (VERDICT r3 weak #5).
             self._result_lock.release()
-        problem = SpaProblem3D(
-            translations=jnp.asarray(np.asarray(ts, np.float32)),
-            rotations=jnp.asarray(np.asarray(qs, np.float32)),
-            a_idx=jnp.asarray(pad(a_idx, (cap,), np.int32)),
-            b_idx=jnp.asarray(pad(b_idx, (cap,), np.int32)),
-            rel_t=jnp.asarray(pad(rel_t, (cap, 3), np.float32)),
-            rel_q=jnp.asarray(rel_q_pad),
-            trans_weight=jnp.asarray(pad(tw, (cap,), np.float32)),
-            rot_weight=jnp.asarray(pad(rw, (cap,), np.float32)),
-            use_huber=jnp.asarray(pad(hub, (cap,), bool)),
-            valid=jnp.asarray(np.arange(cap) < C),
-            fixed=jnp.asarray(np.asarray(fixed, bool)),
-            yaw_only=(jnp.asarray(np.asarray(yaw_only, bool))
-                      if any(yaw_only) else None),
-            **imu_kwargs)
-        t_out, q_out, g_out, calib_out = solve_spa_3d(
-            problem, num_iterations=num_iterations,
-            huber_scale=op.huber_scale,
-            fix_z=op.fix_z_in_3d,
-            learn_gravity=num_traj > 0,
-            learn_imu_calibration=(num_traj > 0
-                                   and op.use_online_imu_extrinsics_in_3d),
-            return_trajectory_data=True)
-        t_out = np.asarray(t_out, np.float64)
-        q_out = np.asarray(q_out, np.float64)
-        g_out = np.asarray(g_out, np.float64)
-        calib_out = np.asarray(calib_out, np.float64)
+
+        s_t, s_q, n_t, n_q = self._solve_schur_3d(
+            sub_ts, sub_qs, sub_free, grav_clamp,
+            nod_ts, nod_qs, nod_free,
+            (a_idx, b_idx, rel_t, rel_q, tw, rw, hub),
+            (j_idx, nn_t, nn_q, nn_tw, nn_rw),
+            (rot_i, rot_traj, rot_dq, rot_w),
+            (acc_i, acc_traj, acc_dv, acc_dt1, acc_dt2, acc_w),
+            num_iterations)
+
         with self._result_lock:
             for tid, slot in traj_slots.items():
                 td = self.trajectory_data.setdefault(tid, {})
-                td["gravity_constant"] = float(g_out[slot])
-                td["imu_calibration"] = calib_out[slot].copy()
+                td["gravity_constant"] = float(s_t[slot][0])
+                td["imu_calibration"] = s_q[slot].copy()
             for tid, slot in ff_origin_slots.items():
                 td = self.trajectory_data.setdefault(tid, {})
-                td["fixed_frame_origin"] = (t_out[slot].copy(),
-                                            q_out[slot].copy())
+                td["fixed_frame_origin"] = (s_t[slot].copy(),
+                                            s_q[slot].copy())
             for lid, slot in landmark_slots.items():
                 self.landmark_poses[lid] = np.concatenate(
-                    [t_out[slot], q_out[slot]])
+                    [s_t[slot], s_q[slot]])
             for sid, slot in submap_slots.items():
                 if sid in self.submap_data:
-                    self.submap_data[sid].global_t = t_out[slot]
-                    self.submap_data[sid].global_q = q_out[slot]
+                    self.submap_data[sid].global_t = s_t[slot]
+                    self.submap_data[sid].global_q = s_q[slot]
             for nid, slot in node_slots.items():
                 if nid in self.nodes:
-                    self.nodes[nid].global_t = t_out[slot]
-                    self.nodes[nid].global_q = q_out[slot]
+                    self.nodes[nid].global_t = n_t[slot]
+                    self.nodes[nid].global_q = n_q[slot]
             # Extrapolate entries appended while the solve ran: shift by
             # new_anchor * old_anchor^-1 of their trajectory.
             corrections = {}
@@ -836,6 +778,105 @@ class PoseGraph3D:
             self._num_nodes_since_last_optimization = 0
         for cb in self._global_optimization_callbacks:
             cb()
+
+    def _solve_schur_3d(self, sub_ts, sub_qs, sub_free, grav_clamp,
+                        nod_ts, nod_qs, nod_free, bin_terms, nn_terms,
+                        rot_terms, acc_terms, num_iterations):
+        """Pad the partitioned SE(3) problem to power-of-two buckets (bounds
+        recompiles) and run the Schur GN solve on the mesh (or one device).
+        Returns (s_t (S,3), s_q (S,4), n_t (N,3), n_q (N,4)) as float64."""
+        from cartographer_tpu.parallel.schur_spa_3d import (
+            SchurSpaProblem3D,
+            solve_spa_3d_schur,
+        )
+
+        a_idx, b_idx, rel_t, rel_q, tw, rw, hub = bin_terms
+        j_idx, nn_t, nn_q, nn_tw, nn_rw = nn_terms
+        rot_i, rot_traj, rot_dq, rot_w = rot_terms
+        acc_i, acc_traj, acc_dv, acc_dt1, acc_dt2, acc_w = acc_terms
+
+        mesh = self._mesh
+        if mesh is None:
+            from cartographer_tpu.mapping.pose_graph_2d import (
+                _single_device_mesh)
+            mesh = _single_device_mesh(jax.devices()[0])
+        m = mesh.devices.size
+
+        def cap_of(n):
+            c = 1 << int(np.ceil(np.log2(max(n, 8))))
+            return ((c + m - 1) // m) * m
+
+        def padi(arr, cap):
+            out = np.zeros(cap, np.int32)
+            out[: len(arr)] = arr
+            return jnp.asarray(out)
+
+        def padf(arr, cap, width=None):
+            shape = (cap,) if width is None else (cap, width)
+            out = np.zeros(shape, np.float32)
+            if len(arr):
+                out[: len(arr)] = arr
+            return jnp.asarray(out)
+
+        def padq(arr, cap):
+            out = np.zeros((cap, 4), np.float32)
+            out[:, 0] = 1.0
+            if len(arr):
+                out[: len(arr)] = arr
+            return jnp.asarray(out)
+
+        def valid_mask(n, cap):
+            return jnp.asarray(np.arange(cap) < n)
+
+        S, N = len(sub_ts), len(nod_ts)
+        Sp = 1 << int(np.ceil(np.log2(max(S, 2))))
+        Np = 1 << int(np.ceil(np.log2(max(N, 2))))
+        C, D = len(a_idx), len(j_idx)
+        R, A = len(rot_i), len(acc_i)
+        Cc, Dc, Rc, Ac = cap_of(C), cap_of(D), cap_of(R), cap_of(A)
+
+        sub_t = np.zeros((Sp, 3), np.float32)
+        sub_t[:S] = np.asarray(sub_ts, np.float64)
+        sub_q = np.zeros((Sp, 4), np.float32)
+        sub_q[:, 0] = 1.0
+        sub_q[:S] = np.asarray(sub_qs, np.float64)
+        sfree = np.zeros((Sp, 6), bool)
+        sfree[:S] = np.asarray(sub_free, bool)
+        gclamp = np.zeros(Sp, bool)
+        gclamp[:S] = np.asarray(grav_clamp, bool)
+        nod_t = np.zeros((Np, 3), np.float32)
+        nod_t[:N] = np.asarray(nod_ts, np.float64)
+        nod_q = np.zeros((Np, 4), np.float32)
+        nod_q[:, 0] = 1.0
+        nod_q[:N] = np.asarray(nod_qs, np.float64)
+        nfree = np.zeros((Np, 6), bool)
+        nfree[:N] = np.asarray(nod_free, bool)
+
+        problem = SchurSpaProblem3D(
+            sub_t=jnp.asarray(sub_t), sub_q=jnp.asarray(sub_q),
+            node_t=jnp.asarray(nod_t), node_q=jnp.asarray(nod_q),
+            sub_free=jnp.asarray(sfree), node_free=jnp.asarray(nfree),
+            grav_clamp=jnp.asarray(gclamp),
+            a_idx=padi(a_idx, Cc), b_idx=padi(b_idx, Cc),
+            rel_t=padf(rel_t, Cc, 3), rel_q=padq(rel_q, Cc),
+            trans_weight=padf(tw, Cc), rot_weight=padf(rw, Cc),
+            use_huber=jnp.asarray(np.pad(np.asarray(hub, bool), (0, Cc - C))),
+            valid=valid_mask(C, Cc),
+            j_idx=padi(j_idx, Dc), nn_rel_t=padf(nn_t, Dc, 3),
+            nn_rel_q=padq(nn_q, Dc), nn_trans_weight=padf(nn_tw, Dc),
+            nn_rot_weight=padf(nn_rw, Dc), nn_valid=valid_mask(D, Dc),
+            rot_i=padi(rot_i, Rc), rot_traj=padi(rot_traj, Rc),
+            rot_delta_q=padq(rot_dq, Rc), rot_weight_c=padf(rot_w, Rc),
+            rot_valid=valid_mask(R, Rc),
+            acc_i=padi(acc_i, Ac), acc_traj=padi(acc_traj, Ac),
+            acc_delta_v=padf(acc_dv, Ac, 3),
+            acc_dt1=padf(acc_dt1, Ac), acc_dt2=padf(acc_dt2, Ac),
+            acc_weight=padf(acc_w, Ac), acc_valid=valid_mask(A, Ac))
+        s_t, s_q, n_t, n_q = solve_spa_3d_schur(
+            mesh, problem, num_iterations=num_iterations,
+            huber_scale=self._options.optimization_problem.huber_scale)
+        return (np.asarray(s_t, np.float64), np.asarray(s_q, np.float64),
+                np.asarray(n_t, np.float64), np.asarray(n_q, np.float64))
 
     def set_global_slam_optimization_callback(self, cb) -> None:
         self._global_optimization_callbacks.append(cb)
@@ -861,8 +902,7 @@ class PoseGraph3D:
         for (tid, sindex), _ in list(self.submap_data.items()):
             if tid == trajectory_id:
                 del self.submap_data[SubmapId(tid, sindex)]
-                self._samplers.pop(SubmapId(tid, sindex), None)
-                self._pyramids.pop(SubmapId(tid, sindex), None)
+                self._constraint_builder.remove_submap(SubmapId(tid, sindex))
         for (tid, nindex), _ in list(self.nodes.items()):
             if tid == trajectory_id:
                 del self.nodes[NodeId(tid, nindex)]
