@@ -188,6 +188,42 @@ def _un_grid3d(g):
         resolution=g["resolution"])
 
 
+def _intensity3d_record(grid) -> Dict[str, Any]:
+    """Sparse record of an IntensityGrid3D dense crop: flat indices of the
+    populated voxels + their sums/counts. The reference has no serialized
+    analog — it FORGETS intensity grids on submap retirement
+    (submap_3d.cc:400-404); keeping them is a capability extension."""
+    sums = np.asarray(grid.sums, np.float32)
+    counts = np.asarray(grid.counts, np.float32)
+    idx = np.flatnonzero(counts.reshape(-1) > 0)
+    return {
+        "shape": list(sums.shape),
+        "idx": _nd(idx.astype(np.int64)),
+        "sums": _nd(sums.reshape(-1)[idx]),
+        "counts": _nd(counts.reshape(-1)[idx].astype(np.uint16)),
+        "origin": list(map(float, np.asarray(grid.origin))),
+        "resolution": grid.resolution,
+    }
+
+
+def _un_intensity3d(g):
+    import jax.numpy as jnp
+
+    from cartographer_tpu.ops.grid_3d import IntensityGrid3D
+
+    shape = tuple(g["shape"])
+    sums = np.zeros(int(np.prod(shape)), np.float32)
+    counts = np.zeros(int(np.prod(shape)), np.float32)
+    idx = _un_nd(g["idx"])
+    sums[idx] = _un_nd(g["sums"])
+    counts[idx] = _un_nd(g["counts"]).astype(np.float32)
+    return IntensityGrid3D(
+        sums=jnp.asarray(sums.reshape(shape)),
+        counts=jnp.asarray(counts.reshape(shape)),
+        origin=jnp.asarray(g["origin"], jnp.float32),
+        resolution=g["resolution"])
+
+
 def _serialize_state_3d(pose_graph, writer: ProtoStreamWriter,
                         include_unfinished_submaps: bool = True) -> None:
     writer.write(_pack({"type": "header", "dim": 3,
@@ -232,6 +268,9 @@ def _serialize_state_3d(pose_graph, writer: ProtoStreamWriter,
             record["high_grid"] = _grid3d_record(submap.high_grid)
             record["low_grid"] = _grid3d_record(submap.low_grid)
             record["histogram"] = _nd(np.asarray(submap.histogram, np.float32))
+            if getattr(submap, "intensity_grid", None) is not None:
+                record["intensity_grid"] = _intensity3d_record(
+                    submap.intensity_grid)
         writer.write(_pack(record))
     for (t, i), node in pose_graph.nodes.items():
         writer.write(_pack({
@@ -296,6 +335,8 @@ def _load_state_3d(records, pose_graph, trajectory_remapping, frozen):
                 high_grid=_un_grid3d(r["high_grid"]) if "high_grid" in r else None,
                 low_grid=_un_grid3d(r["low_grid"]) if "low_grid" in r else None,
                 histogram=_un_nd(r["histogram"]) if "histogram" in r else None)
+            if "intensity_grid" in r:
+                submap.intensity_grid = _un_intensity3d(r["intensity_grid"])
             sp = submap_poses[(t, i)]
             pose_graph.submap_data.insert(SubmapId(nt, i), SubmapDataEntry3D(
                 submap=submap, global_t=np.asarray(sp["t"]),

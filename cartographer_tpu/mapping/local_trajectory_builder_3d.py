@@ -66,7 +66,8 @@ class LocalTrajectoryBuilder3D:
                  expected_range_sensor_ids: List[str]):
         self._options = options
         self._active_submaps = ActiveSubmaps3D(
-            options.submaps, options.tpu, options.rotational_histogram_size)
+            options.submaps, options.tpu, options.rotational_histogram_size,
+            use_intensities=options.use_intensities)
         self._motion_filter = MotionFilter(options.motion_filter)
         self._extrapolator: Optional[PoseExtrapolator] = None
         self._range_data_collator = RangeDataCollator(expected_range_sensor_ids)
@@ -97,7 +98,7 @@ class LocalTrajectoryBuilder3D:
         hi = options.high_resolution_adaptive_voxel_filter
         lo = options.low_resolution_adaptive_voxel_filter
 
-        def preprocess(points, times01, mask, origins,
+        def preprocess(points, times01, mask, origins, intensities,
                        pose_start: Rigid3, pose_end: Rigid3, seed):
             """Unwarp into local frame, back to scan-end tracking frame,
             range-gate against per-point sensor origins, voxel filter, and
@@ -115,7 +116,7 @@ class LocalTrajectoryBuilder3D:
             keep = mask & (r >= options.min_range) & (r <= options.max_range)
             keep = keep & voxel_filter_mask(tracking, keep, options.voxel_filter_size, seed)
             cloud = PointCloud(points=tracking, mask=keep,
-                               intensities=jnp.zeros(points.shape[0]))
+                               intensities=intensities)
             high = adaptive_voxel_filter(
                 cloud, hi.max_length, hi.min_num_points, hi.max_range, seed)
             low = adaptive_voxel_filter(
@@ -125,7 +126,8 @@ class LocalTrajectoryBuilder3D:
         self._preprocess_fn = jax.jit(preprocess)
 
         def match(high_grid, low_grid, high_cloud: PointCloud,
-                  low_cloud: PointCloud, pred_t, pred_q):
+                  low_cloud: PointCloud, pred_t, pred_q,
+                  intensity_grid=None):
             prediction = Rigid3(pred_t, pred_q)
             initial = prediction
             if use_correlative:
@@ -136,7 +138,9 @@ class LocalTrajectoryBuilder3D:
                 high_grid, low_grid,
                 high_cloud.points, high_cloud.mask,
                 low_cloud.points, low_cloud.mask,
-                initial, gn_params, target_translation=prediction.translation)
+                initial, gn_params, target_translation=prediction.translation,
+                intensity_grid=intensity_grid,
+                high_intensities=high_cloud.intensities)
             return pose.translation, pose.rotation, cost
 
         self._match_fn = jax.jit(match)
@@ -251,12 +255,15 @@ class LocalTrajectoryBuilder3D:
         mask[:npts] = True
         origins = np.zeros((capacity, 3), np.float32)
         origins[:npts] = data.per_point_origins(3)[:npts]
+        intens = np.zeros(capacity, np.float32)
+        if data.intensities is not None:
+            intens[:npts] = np.asarray(data.intensities, np.float32)[:npts]
 
         import time as _time
         stage_t0 = _time.monotonic()
         cloud, high, low = self._preprocess_fn(
             jnp.asarray(points), jnp.asarray(t01), jnp.asarray(mask),
-            jnp.asarray(origins),
+            jnp.asarray(origins), jnp.asarray(intens),
             Rigid3(jnp.asarray(pose_start[0], jnp.float32),
                    jnp.asarray(pose_start[1], jnp.float32)),
             Rigid3(jnp.asarray(pose_end[0], jnp.float32),
@@ -275,7 +282,8 @@ class LocalTrajectoryBuilder3D:
             out_t, out_q, cost = self._match_fn(
                 grids[0], grids[1], high, low,
                 jnp.asarray(pose_end[0], jnp.float32),
-                jnp.asarray(pose_end[1], jnp.float32))
+                jnp.asarray(pose_end[1], jnp.float32),
+                intensity_grid=grids[2])
             est_t = np.asarray(out_t, np.float64)
             est_q = nquat.normalize(np.asarray(out_q, np.float64))
             if not np.all(np.isfinite(est_t)):
@@ -295,7 +303,9 @@ class LocalTrajectoryBuilder3D:
                 high.points, high.mask, jnp.asarray(gravity_q, jnp.float32)))
             yaw = nquat.get_yaw(est_q)
             finished = self._active_submaps.insert_range_data(
-                origin_local, local_points, cloud.mask, scan_hist, yaw)
+                origin_local, local_points, cloud.mask, scan_hist, yaw,
+                intensities=(np.asarray(cloud.intensities)
+                             if self._options.use_intensities else None))
             insertion_result = InsertionResult3D(
                 time=data.time,
                 gravity_alignment=gravity_q,

@@ -26,8 +26,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from cartographer_tpu.core.config import SubmapsOptions3D, TpuOptions3D
-from cartographer_tpu.ops.grid_3d import Grid3D
-from cartographer_tpu.ops.paged_grid_3d import PagedSubmapGrid3D
+from cartographer_tpu.ops.grid_3d import Grid3D, IntensityGrid3D
+from cartographer_tpu.ops.paged_grid_3d import (
+    PagedIntensitySubmapGrid3D,
+    PagedSubmapGrid3D,
+)
 from cartographer_tpu.ops.rot_histogram import rotate_histogram
 
 
@@ -47,7 +50,8 @@ class Submap3D:
                  high_grid: Optional[Grid3D] = None,
                  low_grid: Optional[Grid3D] = None,
                  histogram: Optional[np.ndarray] = None,
-                 crop_sizes: Tuple[int, int] = (256, 192)):
+                 crop_sizes: Tuple[int, int] = (256, 192),
+                 intensity_paged: Optional[PagedIntensitySubmapGrid3D] = None):
         self.local_pose_translation = local_pose_translation
         self.local_pose_rotation = local_pose_rotation
         self.num_range_data = num_range_data
@@ -58,6 +62,10 @@ class Submap3D:
         self._low_grid = low_grid
         self.histogram = histogram
         self._crop_sizes = crop_sizes
+        # High-resolution running-average intensity pool (hybrid_grid.h:
+        # 547-576 IntensityHybridGrid); None when use_intensities is off.
+        self.intensity_paged = intensity_paged
+        self._intensity_grid: Optional[IntensityGrid3D] = None
 
     @property
     def high_grid(self) -> Optional[Grid3D]:
@@ -83,13 +91,30 @@ class Submap3D:
     def low_grid(self, grid) -> None:
         self._low_grid = grid
 
+    @property
+    def intensity_grid(self) -> Optional[IntensityGrid3D]:
+        """Content-centered dense crop of the intensity pool, aligned with
+        `high_grid`'s window (same center and size) so the two sample the
+        same space in the matcher."""
+        if (self._intensity_grid is None and self.insertion_finished
+                and self.intensity_paged is not None
+                and self.high_paged is not None):
+            self._intensity_grid = self.intensity_paged.crop_dense(
+                self.high_paged.known_center(), self._crop_sizes[0])
+        return self._intensity_grid
+
+    @intensity_grid.setter
+    def intensity_grid(self, grid) -> None:
+        self._intensity_grid = grid
+
 
 class ActiveSubmaps3D:
     def __init__(self, options: SubmapsOptions3D, tpu: TpuOptions3D,
-                 histogram_size: int = 120):
+                 histogram_size: int = 120, use_intensities: bool = False):
         self._options = options
         self._tpu = tpu
         self._histogram_size = histogram_size
+        self._use_intensities = use_intensities
         self.submaps: List[Submap3D] = []
         self._histograms: List[np.ndarray] = []
 
@@ -104,15 +129,23 @@ class ActiveSubmaps3D:
             max_pages=t.max_pages, num_blocks=t.num_blocks)
         return high, low
 
-    def matching_grids_at(self, center) -> Optional[Tuple[Grid3D, Grid3D]]:
-        """Dense (high, low) crops of the MATCHING (oldest active) submap
-        around `center` — the scan's predicted pose, so the usable matching
-        window follows the robot instead of the submap origin."""
+    def matching_grids_at(self, center) -> Optional[
+            Tuple[Grid3D, Grid3D, Optional[IntensityGrid3D]]]:
+        """Dense (high, low, intensity|None) crops of the MATCHING (oldest
+        active) submap around `center` — the scan's predicted pose, so the
+        usable matching window follows the robot instead of the submap
+        origin. The intensity crop shares the high-resolution window
+        (local_trajectory_builder_3d.cc:489-500 passes the matching submap's
+        high_resolution_intensity_hybrid_grid)."""
         if not self.submaps:
             return None
         s = self.submaps[0]
+        intensity = (s.intensity_paged.crop_dense(
+            center, self._tpu.high_grid_size)
+            if s.intensity_paged is not None else None)
         return (s.high_paged.crop_dense(center, self._tpu.high_grid_size),
-                s.low_paged.crop_dense(center, self._tpu.low_grid_size))
+                s.low_paged.crop_dense(center, self._tpu.low_grid_size),
+                intensity)
 
     @property
     def matching_histogram(self) -> np.ndarray:
@@ -121,7 +154,9 @@ class ActiveSubmaps3D:
     def insert_range_data(self, origin_local: jnp.ndarray,
                           points_local: jnp.ndarray, mask: jnp.ndarray,
                           scan_histogram: np.ndarray,
-                          scan_yaw_in_local: float) -> List[Submap3D]:
+                          scan_yaw_in_local: float,
+                          intensities: Optional[np.ndarray] = None
+                          ) -> List[Submap3D]:
         """Insert a local-frame scan into both active submaps; returns newly
         finished submaps (ActiveSubmaps3D::InsertData, submap_3d.cc)."""
         finished: List[Submap3D] = []
@@ -150,6 +185,13 @@ class ActiveSubmaps3D:
                 hit_probability=ins.hit_probability,
                 miss_probability=ins.miss_probability,
                 num_free_space_voxels=ins.num_free_space_voxels)
+            if submap.intensity_paged is not None and intensities is not None:
+                # High-resolution grid only (range_data_inserter_3d.cc:119
+                # passes the intensity grid alongside the high-res insert);
+                # same range gate as the occupancy high grid.
+                submap.intensity_paged.insert(
+                    points_np, np.asarray(intensities, np.float32),
+                    mask_np & in_high, ins.intensity_threshold)
             submap.num_range_data += 1
             # Histogram accumulates the scan histogram rotated into the
             # submap frame (submap_3d.h:95-104; submaps are yaw-anchored at
@@ -171,6 +213,12 @@ class ActiveSubmaps3D:
         submap.insertion_finished = True
         submap.high_paged.compact()
         submap.low_paged.compact()
+        if submap.intensity_paged is not None:
+            # The reference FORGETS the intensity grid once a submap leaves
+            # the active window (submap_3d.cc:400-404) purely to save RAM;
+            # the compacted page pool is small, so we keep it (serializable,
+            # and still available if the submap is re-matched).
+            submap.intensity_paged.compact()
         submap.histogram = self._histograms[i].copy()
 
     def _add_submap(self, origin: np.ndarray) -> None:
@@ -178,11 +226,19 @@ class ActiveSubmaps3D:
             self.submaps.pop(0)
             self._histograms.pop(0)
         high, low = self._new_paged(np.asarray(origin, np.float32))
+        intensity = None
+        if self._use_intensities:
+            t = self._tpu
+            intensity = PagedIntensitySubmapGrid3D(
+                self._options.high_resolution, np.asarray(origin, np.float32),
+                page_size=t.page_size, max_pages=t.max_pages,
+                num_blocks=t.num_blocks)
         self.submaps.append(Submap3D(
             local_pose_translation=np.asarray(origin, float),
             local_pose_rotation=np.array([1.0, 0, 0, 0]),
             high_paged=high, low_paged=low,
-            crop_sizes=(self._tpu.high_grid_size, self._tpu.low_grid_size)))
+            crop_sizes=(self._tpu.high_grid_size, self._tpu.low_grid_size),
+            intensity_paged=intensity))
         self._histograms.append(np.zeros(self._histogram_size))
 
     def finish_all(self) -> List[Submap3D]:

@@ -95,6 +95,25 @@ class PagedGrid3D:
         return jnp.where(page_ok & kn, log_odds_to_probability(lo), unknown)
 
 
+def _allocate_blocks(slots: Dict[Tuple[int, int, int], int],
+                     page_table: jnp.ndarray, block_keys: np.ndarray,
+                     max_pages: int):
+    """Assign pool slots to new blocks in `slots` (mutated); returns the
+    updated page table (or None if unchanged). Raises when the pool is
+    exhausted. Shared by the occupancy and intensity page pools."""
+    new = [tuple(k) for k in block_keys if tuple(k) not in slots]
+    if not new:
+        return None
+    if len(slots) + len(new) > max_pages:
+        raise MemoryError(f"page pool exhausted ({max_pages} pages)")
+    table = np.asarray(page_table).copy()
+    for key in new:
+        slot = len(slots)
+        slots[key] = slot
+        table[key] = slot
+    return jnp.asarray(table)
+
+
 class PagedSubmapGrid3D:
     """Host wrapper owning the allocation state of one PagedGrid3D.
 
@@ -113,21 +132,11 @@ class PagedSubmapGrid3D:
         return len(self._slots)
 
     def _allocate(self, block_keys: np.ndarray) -> bool:
-        """Assign pool slots to new blocks; returns True if the table
-        changed. Raises if the pool is exhausted."""
-        new = [tuple(k) for k in block_keys if tuple(k) not in self._slots]
-        if not new:
+        table = _allocate_blocks(self._slots, self.grid.page_table,
+                                 block_keys, self.grid.max_pages)
+        if table is None:
             return False
-        if len(self._slots) + len(new) > self.grid.max_pages:
-            raise MemoryError(
-                f"page pool exhausted ({self.grid.max_pages} pages)")
-        table = np.asarray(self.grid.page_table).copy()
-        for key in new:
-            slot = len(self._slots)
-            self._slots[key] = slot
-            table[key] = slot
-        self.grid = dataclasses.replace(
-            self.grid, page_table=jnp.asarray(table))
+        self.grid = dataclasses.replace(self.grid, page_table=table)
         return True
 
     def insert_range_data(self, origin, returns, mask,
@@ -254,16 +263,14 @@ def _insert_paged(grid: PagedGrid3D, origin, returns, mask,
     return dataclasses.replace(grid, pages=log_odds, known=known)
 
 
-@partial(jax.jit, static_argnames=("size",))
-def crop_dense(grid: PagedGrid3D, center: jnp.ndarray, size: int):
-    """Dense (size^3) Grid3D of the window centered at `center`, assembled
-    by gathering whole pages (one take over the pool; block-aligned)."""
-    from cartographer_tpu.ops.grid_3d import Grid3D
-
-    B = grid.page_size
-    nb = grid.num_blocks
+def _crop_pools(page_table, pools, world_to_cell, origin, resolution,
+                page_size: int, center, size: int):
+    """Shared page-gather crop: slice each (P, B, B, B) pool in `pools` to a
+    dense size^3 window centered at `center`. Returns (denses, window origin)."""
+    B = page_size
+    nb = page_table.shape[0]
     nblk = size // B + 2  # block-aligned cover of any size^3 window
-    center_cell = grid.world_to_cell(center)
+    center_cell = world_to_cell(center)
     window_start = center_cell - size // 2  # first cell of the crop
     start_block = jnp.floor_divide(window_start, B)
     bidx = start_block[None, :] + jnp.stack(
@@ -271,13 +278,8 @@ def crop_dense(grid: PagedGrid3D, center: jnp.ndarray, size: int):
                      indexing="ij"), -1).reshape(-1, 3)
     okb = jnp.all((bidx >= 0) & (bidx < nb), axis=-1)
     bclip = jnp.clip(bidx, 0, nb - 1)
-    page = grid.page_table[bclip[:, 0], bclip[:, 1], bclip[:, 2]]
+    page = page_table[bclip[:, 0], bclip[:, 1], bclip[:, 2]]
     ok = okb & (page >= 0)
-    gathered = jnp.where(
-        ok[:, None, None, None],
-        grid.pages[jnp.maximum(page, 0)], 0.0)  # (nblk^3, B, B, B)
-    gathered_known = jnp.where(
-        ok[:, None, None, None], grid.known[jnp.maximum(page, 0)], False)
 
     def assemble(blocks):
         a = blocks.reshape(nblk, nblk, nblk, B, B, B)
@@ -285,10 +287,170 @@ def crop_dense(grid: PagedGrid3D, center: jnp.ndarray, size: int):
                                                      nblk * B)
 
     off = window_start - start_block * B  # in [0, B)
-    dense = jax.lax.dynamic_slice(assemble(gathered), off,
-                                  (size, size, size))
-    dense_known = jax.lax.dynamic_slice(assemble(gathered_known), off,
-                                        (size, size, size))
-    origin = grid.origin + window_start.astype(jnp.float32) * grid.resolution
+    denses = []
+    for pool in pools:
+        zero = jnp.zeros((), pool.dtype)
+        gathered = jnp.where(ok[:, None, None, None],
+                             pool[jnp.maximum(page, 0)], zero)
+        denses.append(jax.lax.dynamic_slice(assemble(gathered), off,
+                                            (size, size, size)))
+    window_origin = origin + window_start.astype(jnp.float32) * resolution
+    return denses, window_origin
+
+
+@partial(jax.jit, static_argnames=("size",))
+def crop_dense(grid: PagedGrid3D, center: jnp.ndarray, size: int):
+    """Dense (size^3) Grid3D of the window centered at `center`, assembled
+    by gathering whole pages (one take over the pool; block-aligned)."""
+    from cartographer_tpu.ops.grid_3d import Grid3D
+
+    (dense, dense_known), origin = _crop_pools(
+        grid.page_table, (grid.pages, grid.known), grid.world_to_cell,
+        grid.origin, grid.resolution, grid.page_size, center, size)
     return Grid3D(log_odds=dense, known=dense_known, origin=origin,
                   resolution=grid.resolution)
+
+
+# --------------------------------------------------------------- intensity
+# Reference: IntensityHybridGrid (mapping/3d/hybrid_grid.h:547-576) — a
+# running-average intensity per voxel kept ONLY for the high-resolution grid
+# of active submaps and consumed by the frontend matcher's intensity
+# residual (local_trajectory_builder_3d.cc:489-500). The reference drops it
+# when a submap leaves the active window (submap_3d.cc:400-404
+# ForgetIntensityHybridGrid); the page pool makes keeping the compacted
+# content cheap, so finished submaps keep (and serialize) theirs.
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PagedIntensityGrid3D:
+    """Page-pool running-average intensity grid (sums/counts pools share one
+    page table)."""
+
+    sums: jnp.ndarray  # (P, B, B, B) f32
+    counts: jnp.ndarray  # (P, B, B, B) f32
+    page_table: jnp.ndarray  # (NB, NB, NB) int32, -1 = unallocated
+    origin: jnp.ndarray  # (3,)
+    resolution: float = dataclasses.field(metadata=dict(static=True))
+    page_size: int = dataclasses.field(metadata=dict(static=True))
+
+    @staticmethod
+    def create(resolution: float, center, page_size: int = 32,
+               max_pages: int = 512,
+               num_blocks: int = 64) -> "PagedIntensityGrid3D":
+        extent = num_blocks * page_size * resolution
+        origin = jnp.asarray(center, jnp.float32) - 0.5 * extent
+        shape = (max_pages, page_size, page_size, page_size)
+        return PagedIntensityGrid3D(
+            sums=jnp.zeros(shape, jnp.float32),
+            counts=jnp.zeros(shape, jnp.float32),
+            page_table=jnp.full((num_blocks,) * 3, -1, jnp.int32),
+            origin=origin, resolution=resolution, page_size=page_size)
+
+    @property
+    def max_pages(self) -> int:
+        return self.sums.shape[0]
+
+    @property
+    def num_blocks(self) -> int:
+        return self.page_table.shape[0]
+
+    def world_to_cell(self, points: jnp.ndarray) -> jnp.ndarray:
+        return jnp.floor((points - self.origin) / self.resolution).astype(
+            jnp.int32)
+
+
+@jax.jit
+def _insert_intensity_paged(grid: PagedIntensityGrid3D, returns, intensities,
+                            valid) -> PagedIntensityGrid3D:
+    """Scatter-add intensity sums/counts of `valid` hits into the pool
+    (IntensityHybridGrid::AddIntensity, hybrid_grid.h:560-566)."""
+    B = grid.page_size
+    nb = grid.num_blocks
+    cells = grid.world_to_cell(returns)
+    inb = valid & jnp.all((cells >= 0) & (cells < nb * B), axis=-1)
+    block = jnp.clip(cells // B, 0, nb - 1)
+    off = jnp.clip(cells - block * B, 0, B - 1)
+    page = grid.page_table[block[..., 0], block[..., 1], block[..., 2]]
+    ok = inb & (page >= 0)
+    lin = ((jnp.maximum(page, 0) * B + off[..., 0]) * B
+           + off[..., 1]) * B + off[..., 2]
+    flat = grid.max_pages * B**3
+    lin = jnp.where(ok, lin, flat)
+    shape = grid.sums.shape
+    sums = grid.sums.reshape(-1).at[jnp.minimum(lin, flat - 1)].add(
+        jnp.where(ok, intensities, 0.0)).reshape(shape)
+    counts = grid.counts.reshape(-1).at[jnp.minimum(lin, flat - 1)].add(
+        jnp.where(ok, 1.0, 0.0)).reshape(shape)
+    return dataclasses.replace(grid, sums=sums, counts=counts)
+
+
+@partial(jax.jit, static_argnames=("size",))
+def crop_dense_intensity(grid: PagedIntensityGrid3D, center: jnp.ndarray,
+                         size: int):
+    """Dense (size^3) IntensityGrid3D window centered at `center`."""
+    from cartographer_tpu.ops.grid_3d import IntensityGrid3D
+
+    (sums, counts), origin = _crop_pools(
+        grid.page_table, (grid.sums, grid.counts), grid.world_to_cell,
+        grid.origin, grid.resolution, grid.page_size, center, size)
+    return IntensityGrid3D(sums=sums, counts=counts, origin=origin,
+                           resolution=grid.resolution)
+
+
+class PagedIntensitySubmapGrid3D:
+    """Host wrapper owning the allocation state of one PagedIntensityGrid3D
+    (the intensity analog of PagedSubmapGrid3D)."""
+
+    def __init__(self, resolution: float, center, page_size: int = 32,
+                 max_pages: int = 512, num_blocks: int = 64):
+        self.grid = PagedIntensityGrid3D.create(resolution, center, page_size,
+                                                max_pages, num_blocks)
+        self._slots: Dict[Tuple[int, int, int], int] = {}
+
+    @property
+    def num_allocated(self) -> int:
+        return len(self._slots)
+
+    def insert(self, returns, intensities, mask,
+               intensity_threshold: float) -> None:
+        """InsertIntensitiesIntoGrid (range_data_inserter_3d.cc:76-88): only
+        points with intensity <= threshold contribute. Host allocates the
+        touched blocks; device scatters the sums/counts."""
+        B = self.grid.page_size
+        nb = self.grid.num_blocks
+        pts = np.asarray(returns)
+        m = np.asarray(mask) & (np.asarray(intensities)
+                                <= intensity_threshold)
+        if not m.any():
+            return
+        o = np.asarray(self.grid.origin)
+        cells = np.floor((pts[m] - o) / self.grid.resolution).astype(np.int64)
+        inb = np.all((cells >= 0) & (cells < nb * B), axis=-1)
+        keys = np.unique(cells[inb] // B, axis=0)
+        if len(keys):
+            table = _allocate_blocks(self._slots, self.grid.page_table,
+                                     keys, self.grid.max_pages)
+            if table is not None:
+                self.grid = dataclasses.replace(self.grid, page_table=table)
+        self.grid = _insert_intensity_paged(
+            self.grid, jnp.asarray(pts.astype(np.float32)),
+            jnp.asarray(np.asarray(intensities, np.float32)), jnp.asarray(m))
+
+    def crop_dense(self, center, size: int):
+        return crop_dense_intensity(self.grid,
+                                    jnp.asarray(center, jnp.float32), size)
+
+    def compact(self) -> None:
+        """Shrink the pools to the allocated pages (power-of-two padded so
+        crops compile per size bucket) and move them to host memory."""
+        import math
+
+        n = max(1, 1 << math.ceil(math.log2(max(self.num_allocated, 1))))
+        n = min(n, self.grid.max_pages)
+        self.grid = dataclasses.replace(
+            self.grid,
+            sums=np.asarray(self.grid.sums[:n]),
+            counts=np.asarray(self.grid.counts[:n]),
+            page_table=np.asarray(self.grid.page_table),
+            origin=np.asarray(self.grid.origin))

@@ -96,10 +96,16 @@ def gauss_newton_match_3d(
             m = high_mask & (high_intensities <= params.intensity_threshold)
             n = jnp.maximum(jnp.sum(m.astype(jnp.float32)), 1.0)
             r = pred - high_intensities
-            # Huber via IRLS-style soft clipping of the residual.
+            # Huber via IRLS-style soft clipping of the residual. The sqrt
+            # argument is guarded with the double-where pattern: sqrt'(0) is
+            # inf, and a plain maximum(·, 0) still leaks NaN through jacfwd
+            # for every inlier residual.
             scale = params.intensity_huber_scale
-            r = jnp.sign(r) * jnp.minimum(jnp.abs(r), scale + jnp.sqrt(
-                jnp.maximum(scale * (jnp.abs(r) - scale), 0.0)))
+            arg = scale * (jnp.abs(r) - scale)
+            outlier = arg > 0
+            soft = jnp.where(outlier,
+                             jnp.sqrt(jnp.where(outlier, arg, 1.0)), 0.0)
+            r = jnp.sign(r) * jnp.minimum(jnp.abs(r), scale + soft)
             parts.append(jnp.where(m, (params.intensity_weight / jnp.sqrt(n)) * r, 0.0))
         r_t = params.translation_weight * (pose.translation - target_translation)
         # Rotation penalty: angle of q_target^-1 * q via axis-angle norm.
