@@ -62,8 +62,17 @@ class LocalTrajectoryUploader:
         self._trajectory_sensor_ids[local_trajectory_id] = list(expected_sensor_ids)
         self._queue.put(("add_trajectory", local_trajectory_id))
 
-    def finish_trajectory(self, local_trajectory_id: int) -> None:
-        self._queue.put(("finish_trajectory", local_trajectory_id))
+    def finish_trajectory(self, local_trajectory_id: int,
+                          timeout: Optional[float] = 60.0) -> bool:
+        """Enqueue the finish marker and BLOCK until the uploader thread has
+        flushed every result queued before it and delivered FinishTrajectory
+        to the uplink (drain-on-finish: a trajectory is only observably
+        finished once its uploads are). The queue is FIFO, so reaching the
+        marker implies all earlier results were sent. Returns False on
+        timeout (uplink down and recovery still looping)."""
+        flushed = threading.Event()
+        self._queue.put(("finish_trajectory", local_trajectory_id, flushed))
+        return flushed.wait(timeout) if timeout else True
 
     def enqueue_local_slam_result(self, trajectory_id: int,
                                   data: LocalSlamResultData) -> None:
@@ -161,12 +170,18 @@ class LocalTrajectoryUploader:
                     self._create_uplink_trajectory(item[1])
                     continue
                 if item[0] == "finish_trajectory":
-                    uplink_id = self._local_to_uplink.get(item[1])
-                    if uplink_id is not None:
-                        if batch:
-                            self._send_batch(batch)
-                            batch = []
-                        self._unary("FinishTrajectory", {"trajectory_id": uplink_id})
+                    try:
+                        uplink_id = self._local_to_uplink.get(item[1])
+                        if uplink_id is not None:
+                            if batch:
+                                self._send_batch(batch)
+                                batch = []
+                            self._unary("FinishTrajectory",
+                                        {"trajectory_id": uplink_id})
+                    finally:
+                        # Wake the flush waiter even on RpcError — a hung
+                        # finish_trajectory would deadlock the caller.
+                        item[2].set()
                     continue
                 _, trajectory_id, data = item
                 uplink_id = self._local_to_uplink.get(trajectory_id)

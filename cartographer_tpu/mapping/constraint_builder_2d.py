@@ -112,11 +112,22 @@ class MatchRequest:
 
 
 class ConstraintBuilder2D:
-    def __init__(self, options: ConstraintBuilderOptions, mesh=None):
+    def __init__(self, options: ConstraintBuilderOptions, mesh=None,
+                 multihost: bool = False):
         """`mesh` (jax.sharding.Mesh with a `pairs` axis) shards candidate
-        batches across chips; None runs vmapped on the default device."""
+        batches across chips; None runs vmapped on the default device.
+
+        `multihost=True` splits each request batch across the
+        jax.distributed process group (requests[i] computed by process
+        i % process_count on its LOCAL devices) and allgathers the raw
+        match results, so every process builds the identical constraint set
+        — the cross-machine analog of the reference's thread-pool fan-out
+        (constraint_builder_2d.cc:102-186). Requires every process to call
+        compute_constraints with the identical request sequence (synchronous
+        pose-graph mode): process_allgather is a collective."""
         self._options = options
         self._mesh = mesh
+        self._multihost = multihost
         fcsm = options.fast_correlative_scan_matcher
         self._bnb_params = FastCorrelativeMatcherParams2D(
             linear_search_window=fcsm.linear_search_window,
@@ -240,29 +251,91 @@ class ConstraintBuilder2D:
         as possible (the P1 fan-out): requests are grouped by
         (full/local, grid size), padded to a power-of-two batch, and run
         through one vmapped — and, on a mesh, pairs-sharded — program per
-        chunk. Results come back with ONE host sync per chunk."""
-        constraints: List[Constraint] = []
-        groups: Dict[int, List[MatchRequest]] = {}
-        for r in requests:
-            if len(r.points) == 0:
-                continue
+        chunk. Results come back with ONE host sync per chunk.
+
+        In multihost mode the request list splits round-robin across the
+        process group, each process matches its share locally, and the raw
+        (score, pose) results are allgathered so every process thresholds
+        the identical set (SURVEY.md P5: the reference's cross-machine tier
+        ships whole SLAM servers; here the mesh/processes split the
+        numeric work itself)."""
+        requests = [r for r in requests if len(r.points) > 0]
+        if not requests and not self._is_multiprocess():
+            return []
+        if self._is_multiprocess():
+            import jax
+            from jax.experimental import multihost_utils as mu
+
+            nproc = jax.process_count()
+            pid = jax.process_index()
+            n = len(requests)
+            raw = np.zeros((max(n, 1), 4), np.float32)
+            mine = list(range(pid, n, nproc))
+            if mine:
+                raw[mine] = self._raw_results([requests[i] for i in mine])
+            # Collective: every process contributes its rows (zeros
+            # elsewhere), the sum re-assembles the full result table.
+            raw = np.asarray(mu.process_allgather(raw)).sum(axis=0)
+            return self._constraints_from_raw(requests, raw[:n])
+        return self._constraints_from_raw(requests,
+                                          self._raw_results(requests))
+
+    def _is_multiprocess(self) -> bool:
+        if not self._multihost:
+            return False
+        import jax
+        return jax.process_count() > 1
+
+    def _raw_results(self, requests: List[MatchRequest]) -> np.ndarray:
+        """(len(requests), 4) float32 [score, x, y, theta] — refined match
+        results with NO thresholding (deterministic pure function of the
+        request, so multihost processes can split the work)."""
+        out = np.zeros((len(requests), 4), np.float32)
+        groups: Dict[int, List[int]] = {}
+        for i, r in enumerate(requests):
             if r.match_full:
-                # Global localization uses the EXACT (certified iterative
-                # widening) matcher — a missed global constraint is
-                # unrecoverable, so the reference's exact-DFS semantics are
-                # preserved here (fast_correlative_scan_matcher_2d.cc:210).
-                c = self._compute_global_exact(r)
-                if c is not None:
-                    constraints.append(c)
+                out[i] = self._raw_global_exact(r)
+            else:
+                groups.setdefault(r.grid.size, []).append(i)
+        for idxs in groups.values():
+            for s in range(0, len(idxs), _MAX_CHUNK):
+                chunk = idxs[s:s + _MAX_CHUNK]
+                scores, poses = self._raw_chunk([requests[i] for i in chunk])
+                out[chunk, 0] = scores
+                out[chunk, 1:] = poses
+        return out
+
+    def _constraints_from_raw(self, requests: List[MatchRequest],
+                              raw: np.ndarray) -> List[Constraint]:
+        """Threshold + metrics over the raw result table (identical on every
+        multihost process)."""
+        constraints: List[Constraint] = []
+        for r, row in zip(requests, raw):
+            score = float(row[0])
+            rel = np.asarray(row[1:], np.float64)
+            self.score_histogram.add(score)
+            if r.match_full:
+                self._metric_scores_global.observe(score)
+                min_score = self._options.global_localization_min_score
+            else:
+                self._metric_scores.observe(score)
+                min_score = self._options.min_score
+            if score < min_score or not np.all(np.isfinite(rel)):
                 continue
-            groups.setdefault(r.grid.size, []).append(r)
-        for group in groups.values():
-            for i in range(0, len(group), _MAX_CHUNK):
-                constraints.extend(
-                    self._compute_chunk(group[i:i + _MAX_CHUNK]))
+            (self._metric_found_global if r.match_full
+             else self._metric_found).increment()
+            constraints.append(Constraint(
+                submap_id=r.submap_id, node_id=r.node_id, rel=rel,
+                translation_weight=self._options.loop_closure_translation_weight,
+                rotation_weight=self._options.loop_closure_rotation_weight,
+                tag="INTER_SUBMAP", score=score))
         return constraints
 
-    def _compute_global_exact(self, r: MatchRequest) -> Optional[Constraint]:
+    def _raw_global_exact(self, r: MatchRequest) -> np.ndarray:
+        """Full-submap search via the EXACT (certified iterative widening)
+        matcher — a missed global constraint is unrecoverable, so the
+        reference's exact-DFS semantics are preserved here
+        (fast_correlative_scan_matcher_2d.cc:210). Returns [score, pose]."""
         from cartographer_tpu.ops.bnb_2d import match_full_submap_exact
 
         pyramid, grid = self._matcher_for(r.submap_id, r.grid)
@@ -275,23 +348,18 @@ class ConstraintBuilder2D:
         found, score, pose, _cert = match_full_submap_exact(
             pyramid, grid, jnp.asarray(pts), jnp.asarray(mask),
             self._bnb_params, min_score)
-        self.score_histogram.add(score)
-        self._metric_scores_global.observe(score)
+        score = float(score)
         if score < min_score:
-            return None
+            # Below threshold: skip the refine dispatch; the raw pose is
+            # discarded by _constraints_from_raw anyway.
+            return np.array([score, np.nan, np.nan, np.nan], np.float32)
         refined, _ = _refined_match_fn(self._gn_params)(
             grid, jnp.asarray(pts), jnp.asarray(mask), pose.to_vector())
-        rel = np.asarray(refined, np.float64)
-        if not np.all(np.isfinite(rel)):
-            return None
-        self._metric_found_global.increment()
-        return Constraint(
-            submap_id=r.submap_id, node_id=r.node_id, rel=rel,
-            translation_weight=self._options.loop_closure_translation_weight,
-            rotation_weight=self._options.loop_closure_rotation_weight,
-            tag="INTER_SUBMAP", score=score)
+        return np.concatenate([[score],
+                               np.asarray(refined, np.float32)]).astype(
+                                   np.float32)
 
-    def _compute_chunk(self, group: List[MatchRequest]) -> List[Constraint]:
+    def _raw_chunk(self, group: List[MatchRequest]):
         B = len(group)
         pts_cap = 1 << math.ceil(math.log2(
             max(max(len(r.points) for r in group), 16)))
@@ -331,27 +399,6 @@ class ConstraintBuilder2D:
             self._mesh if use_mesh else None)
         scores, poses = fn(pyramids, grid_stack, jnp.asarray(pts),
                            jnp.asarray(mask), jnp.asarray(inits))
-        # One host sync for the whole chunk.
-        scores = np.asarray(scores)
-        poses = np.asarray(poses)
-
-        min_score = self._options.min_score
-        out = []
-        for i, r in enumerate(group):
-            score = float(scores[i])
-            self.score_histogram.add(score)
-            self._metric_scores.observe(score)
-            if score < min_score or not np.all(np.isfinite(poses[i])):
-                continue
-            self._metric_found.increment()
-            out.append(Constraint(
-                submap_id=r.submap_id,
-                node_id=r.node_id,
-                rel=np.asarray(poses[i], np.float64),
-                translation_weight=self._options.loop_closure_translation_weight,
-                rotation_weight=self._options.loop_closure_rotation_weight,
-                tag="INTER_SUBMAP",
-                score=score,
-            ))
-        return out
+        # One host sync for the whole chunk; padding lanes discarded.
+        return np.asarray(scores)[:B], np.asarray(poses)[:B]
 

@@ -226,17 +226,32 @@ class MapBuilder:
         # (SURVEY.md P1; the reference's thread-pool fan-out,
         # constraint_builder_2d.cc:102-136, is its production path too).
         mesh = None
+        import jax
+        if jax.process_count() > 1:
+            # Multihost (jax.distributed process group): constraint batches
+            # and the Schur solve are COLLECTIVE — every process must issue
+            # them in the same order, so the pose graph runs synchronously
+            # (the reference's cross-machine tier serializes through its
+            # work queue too, map_builder_server.cc:157-176).
+            threads = 0
         if options.use_device_mesh:
-            import jax
             devices = jax.devices()
             if len(devices) > 1:
                 from jax.sharding import Mesh
                 mesh = Mesh(np.asarray(devices), ("pairs",))
         if options.use_trajectory_builder_3d:
             from cartographer_tpu.mapping.pose_graph_3d import PoseGraph3D
+            mesh_3d = mesh
+            if mesh is not None and jax.process_count() > 1:
+                # 3D has no cross-process solve path yet; keep its matcher
+                # sharding on the process-local devices.
+                from jax.sharding import Mesh
+                local = jax.local_devices()
+                mesh_3d = Mesh(np.asarray(local), ("pairs",)) \
+                    if len(local) > 1 else None
             self.pose_graph = PoseGraph3D(options.pose_graph,
                                           num_background_threads=threads,
-                                          mesh=mesh)
+                                          mesh=mesh_3d)
         else:
             self.pose_graph = PoseGraph2D(options.pose_graph,
                                           num_background_threads=threads,

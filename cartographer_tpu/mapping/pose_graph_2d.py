@@ -85,11 +85,34 @@ class PoseGraph2D:
         as background tasks (device dispatches release the GIL) while the
         frontend keeps feeding nodes; optimization waits for the pending
         batch like ConstraintBuilder2D::WhenDone. `mesh` (with a `pairs`
-        axis) shards constraint-search batches across chips (SURVEY.md P1)."""
+        axis) shards constraint-search batches across chips (SURVEY.md P1).
+
+        Under a jax.distributed process group (jax.process_count() > 1) the
+        graph runs MULTIHOST: constraint batches split round-robin across
+        processes (results allgathered), and the Schur solve runs on the
+        global mesh with cross-process collectives (SURVEY.md P5; the
+        reference's cross-machine tier is gRPC between whole servers,
+        cloud/internal/local_trajectory_uploader.cc:145-180 — here the
+        numeric core itself spans hosts). Every process must feed the same
+        node stream (replicated ingestion) and run synchronously."""
+        import jax as _jax
         self._options = options
+        self._multihost = _jax.process_count() > 1
+        if self._multihost and mesh is None:
+            from cartographer_tpu.parallel.multihost import global_mesh
+            mesh = global_mesh()
         self._mesh = mesh
+        # In multihost mode constraint matching runs on LOCAL devices (the
+        # batch is split across processes host-side); the global mesh is for
+        # the solve.
+        cb_mesh = mesh
+        if self._multihost:
+            from jax.sharding import Mesh
+            local = _jax.local_devices()
+            cb_mesh = Mesh(np.asarray(local), ("pairs",))
         self._constraint_builder = ConstraintBuilder2D(
-            options.constraint_builder, mesh=mesh)
+            options.constraint_builder, mesh=cb_mesh,
+            multihost=self._multihost)
         self._executor = None
         self._pending_futures: List = []
         import threading
@@ -740,6 +763,19 @@ class PoseGraph2D:
                 np.pad(np.asarray(u_hubers, bool), (0, Uc - U))),
             u_valid=jnp.asarray(np.arange(Uc) < U),
         )
+        if self._multihost:
+            # Cross-process solve: the identical host-assembled problem on
+            # every process is scattered over the GLOBAL mesh (constraint
+            # shards per process, poses replicated); collectives cross hosts
+            # (SURVEY.md P5). cap_of() already rounds the constraint axes to
+            # multiples of the global device count, so the per-process split
+            # inside the multihost wrapper is exact.
+            from cartographer_tpu.parallel.multihost import (
+                solve_spa_2d_schur_multihost)
+            sub_solved, node_solved = solve_spa_2d_schur_multihost(
+                mesh, problem, num_iterations=num_iterations,
+                huber_scale=self._options.optimization_problem.huber_scale)
+            return np.asarray(sub_solved), np.asarray(node_solved)
         sub_solved, node_solved = solve_spa_2d_schur(
             mesh, problem, num_iterations=num_iterations,
             huber_scale=self._options.optimization_problem.huber_scale)
