@@ -155,7 +155,8 @@ class ActiveSubmaps3D:
                           points_local: jnp.ndarray, mask: jnp.ndarray,
                           scan_histogram: np.ndarray,
                           scan_yaw_in_local: float,
-                          intensities: Optional[np.ndarray] = None
+                          intensities: Optional[np.ndarray] = None,
+                          rotated_histogram: Optional[np.ndarray] = None
                           ) -> List[Submap3D]:
         """Insert a local-frame scan into both active submaps; returns newly
         finished submaps (ActiveSubmaps3D::InsertData, submap_3d.cc)."""
@@ -172,8 +173,12 @@ class ActiveSubmaps3D:
         # (submap_3d.cc high_resolution_max_range).
         in_high = (np.linalg.norm(points_np - origin_np[None, :], axis=-1)
                    <= self._options.high_resolution_max_range)
-        rotated = np.asarray(rotate_histogram(
-            jnp.asarray(scan_histogram), scan_yaw_in_local))
+        # The fused frontend pre-rotates on device (one packed fetch); the
+        # fallback round-trips here for direct callers.
+        rotated = (np.asarray(rotated_histogram)
+                   if rotated_histogram is not None
+                   else np.asarray(rotate_histogram(
+                       jnp.asarray(scan_histogram), scan_yaw_in_local)))
         for i, submap in enumerate(self.submaps):
             submap.high_paged.insert_range_data(
                 origin_np, points_np, mask_np & in_high,

@@ -96,11 +96,13 @@ class PagedGrid3D:
 
 
 def _allocate_blocks(slots: Dict[Tuple[int, int, int], int],
-                     page_table: jnp.ndarray, block_keys: np.ndarray,
+                     page_table: np.ndarray, block_keys: np.ndarray,
                      max_pages: int):
     """Assign pool slots to new blocks in `slots` (mutated); returns the
-    updated page table (or None if unchanged). Raises when the pool is
-    exhausted. Shared by the occupancy and intensity page pools."""
+    updated HOST page table (or None if unchanged). Raises when the pool is
+    exhausted. Shared by the occupancy and intensity page pools. The input
+    table must be a host mirror — fetching the device copy would add a
+    blocking round-trip to every insert."""
     new = [tuple(k) for k in block_keys if tuple(k) not in slots]
     if not new:
         return None
@@ -111,7 +113,7 @@ def _allocate_blocks(slots: Dict[Tuple[int, int, int], int],
         slot = len(slots)
         slots[key] = slot
         table[key] = slot
-    return jnp.asarray(table)
+    return table
 
 
 class PagedSubmapGrid3D:
@@ -126,17 +128,25 @@ class PagedSubmapGrid3D:
         self.grid = PagedGrid3D.create(resolution, center, page_size,
                                        max_pages, num_blocks)
         self._slots: Dict[Tuple[int, int, int], int] = {}
+        # Host mirrors of the allocation state: the insert hot path must
+        # never block on a device fetch (origin/page_table live on device).
+        extent = num_blocks * page_size * resolution
+        self._origin_host = (np.asarray(center, np.float32)
+                             - np.float32(0.5 * extent))
+        self._table_host = np.full((num_blocks,) * 3, -1, np.int32)
 
     @property
     def num_allocated(self) -> int:
         return len(self._slots)
 
     def _allocate(self, block_keys: np.ndarray) -> bool:
-        table = _allocate_blocks(self._slots, self.grid.page_table,
+        table = _allocate_blocks(self._slots, self._table_host,
                                  block_keys, self.grid.max_pages)
         if table is None:
             return False
-        self.grid = dataclasses.replace(self.grid, page_table=table)
+        self._table_host = table
+        self.grid = dataclasses.replace(self.grid,
+                                        page_table=jnp.asarray(table))
         return True
 
     def insert_range_data(self, origin, returns, mask,
@@ -154,7 +164,7 @@ class PagedSubmapGrid3D:
         res = self.grid.resolution
         pts = np.asarray(returns)
         m = np.asarray(mask)
-        o = np.asarray(self.grid.origin)
+        o = self._origin_host
         cells = np.floor((pts[m] - o) / res).astype(np.int64)
         ocell = np.floor((np.asarray(origin) - o) / res).astype(np.int64)
         # Free-space samples stay within num_free_space_voxels cells of the
@@ -199,12 +209,12 @@ class PagedSubmapGrid3D:
         """World center of the allocated (touched) blocks — the content
         centroid, used to place content-centered dense crops at finish."""
         if not self._slots:
-            return np.asarray(self.grid.origin) + (
+            return self._origin_host + np.float32(
                 0.5 * self.grid.num_blocks * self.grid.page_size
                 * self.grid.resolution)
         keys = np.asarray(list(self._slots.keys()), np.float64)
         mid = (keys.mean(axis=0) + 0.5) * self.grid.page_size
-        return np.asarray(self.grid.origin) + mid * self.grid.resolution
+        return self._origin_host + mid * self.grid.resolution
 
 
 from functools import partial
@@ -407,6 +417,10 @@ class PagedIntensitySubmapGrid3D:
         self.grid = PagedIntensityGrid3D.create(resolution, center, page_size,
                                                 max_pages, num_blocks)
         self._slots: Dict[Tuple[int, int, int], int] = {}
+        extent = num_blocks * page_size * resolution
+        self._origin_host = (np.asarray(center, np.float32)
+                             - np.float32(0.5 * extent))
+        self._table_host = np.full((num_blocks,) * 3, -1, np.int32)
 
     @property
     def num_allocated(self) -> int:
@@ -424,15 +438,17 @@ class PagedIntensitySubmapGrid3D:
                                 <= intensity_threshold)
         if not m.any():
             return
-        o = np.asarray(self.grid.origin)
+        o = self._origin_host
         cells = np.floor((pts[m] - o) / self.grid.resolution).astype(np.int64)
         inb = np.all((cells >= 0) & (cells < nb * B), axis=-1)
         keys = np.unique(cells[inb] // B, axis=0)
         if len(keys):
-            table = _allocate_blocks(self._slots, self.grid.page_table,
+            table = _allocate_blocks(self._slots, self._table_host,
                                      keys, self.grid.max_pages)
             if table is not None:
-                self.grid = dataclasses.replace(self.grid, page_table=table)
+                self._table_host = table
+                self.grid = dataclasses.replace(
+                    self.grid, page_table=jnp.asarray(table))
         self.grid = _insert_intensity_paged(
             self.grid, jnp.asarray(pts.astype(np.float32)),
             jnp.asarray(np.asarray(intensities, np.float32)), jnp.asarray(m))
