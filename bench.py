@@ -174,7 +174,7 @@ def bench_bnb_2d():
     import jax
     import jax.numpy as jnp
 
-    from cartographer_tpu.mapping.constraint_builder_2d import _batched_match_fn
+    from cartographer_tpu.mapping.constraint_builder_2d import _single_match_fn
     from cartographer_tpu.ops.bnb_2d import (
         FastCorrelativeMatcherParams2D, build_precomputation_pyramid)
     from cartographer_tpu.ops.scan_matcher_2d import GaussNewtonMatcherParams2D
@@ -183,7 +183,7 @@ def bench_bnb_2d():
         linear_search_window=4.0, angular_search_window=np.radians(30.0),
         branch_and_bound_depth=6, max_scan_range=12.0)
     gn_params = GaussNewtonMatcherParams2D(num_iterations=10)
-    NP = 256  # loop_closure_capacity node clouds
+    NP = 128  # loop_closure_capacity node clouds
     BATCH = 16  # pairs per dispatch (constraint_builder_2d._MAX_CHUNK)
     rng = np.random.RandomState(1)
     grid, world = _built_map_2d()
@@ -199,10 +199,7 @@ def bench_bnb_2d():
         inits[b] = [pose[0] + rng.uniform(-1.5, 1.5),
                     pose[1] + rng.uniform(-1.5, 1.5),
                     rng.uniform(-0.3, 0.3)]
-    pts = jnp.asarray(pts)
-    masks = jnp.ones((BATCH, NP), bool)
-    grids = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x, (BATCH,) + x.shape), grid)
+    masks = np.ones((BATCH, NP), bool)
 
     # Pyramid build cost, measured then amortized: ConstraintBuilder2D
     # caches one pyramid per FINISHED submap and matches every sampled node
@@ -212,35 +209,41 @@ def bench_bnb_2d():
                                     params.branch_and_bound_depth))
     prob = grid.probability()
     pyramid = build(prob)
-    jax.block_until_ready(pyramid)
+    float(jnp.sum(pyramid[0]))
     t0 = time.perf_counter()
     pyramid = build(prob + 0.0)
-    jax.block_until_ready(pyramid)
+    float(jnp.sum(pyramid[0]))
     pyramid_build_s = time.perf_counter() - t0
-    pyramids = jnp.broadcast_to(pyramid, (BATCH,) + pyramid.shape)
-    match = _batched_match_fn(params, gn_params, None, None)
 
-    # Dispatch k batches back-to-back WITHOUT intermediate fetches (the
-    # device queue pipelines them), fetch one scalar at the end; the slope
-    # between two k values cancels the single round-trip. (Wrapping the
-    # matcher in a lax.scan instead compiles a program that faults the TPU
-    # runtime — pipelined dispatch is also what production does.)
+    # PRODUCTION single-chip path (constraint_builder_2d._raw_chunk):
+    # pipelined per-pair dispatch — one program per pair, queued
+    # back-to-back, results stacked on device, ONE fetch per chunk. The
+    # slope between two chunk counts cancels the round-trip.
+    match = _single_match_fn(params, gn_params, None)
+
+    def chunk():
+        outs = [match(pyramid, grid, pts[b], masks[b], inits[b])
+                for b in range(BATCH)]
+        return (jnp.sum(jnp.stack([o[0] for o in outs]))
+                + jnp.sum(jnp.stack([o[1] for o in outs])))
+
     def timed(k):
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            for i in range(k):
-                scores, poses = match(pyramids, grids, pts, masks, inits)
-            float(jnp.sum(scores) + jnp.sum(poses))
+            acc = [chunk() for _ in range(k)]
+            float(sum(acc))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    scores0 = np.asarray(match(pyramids, grids, pts, masks, inits)[0])
-    t4, t16 = timed(4), timed(16)
-    sec_per_dispatch = (t16 - t4) / 12
-    per_match = sec_per_dispatch / BATCH
+    scores0 = np.asarray(jnp.stack(
+        [match(pyramid, grid, pts[b], masks[b], inits[b])[0]
+         for b in range(BATCH)]))
+    t2, t8 = timed(2), timed(8)
+    sec_per_chunk = (t8 - t2) / 6
+    per_match = sec_per_chunk / BATCH
     amortized = per_match + pyramid_build_s / 180.0
-    return BATCH / sec_per_dispatch, {
+    return BATCH / sec_per_chunk, {
         "loop_closure_pyramid_build_ms": round(pyramid_build_s * 1e3, 2),
         "loop_closure_matches_per_sec_with_pyramid_amortized_180": round(
             1.0 / amortized, 2),
@@ -264,7 +267,7 @@ def bench_bnb_3d():
     import jax.numpy as jnp
 
     from cartographer_tpu.mapping.constraint_builder_3d import (
-        _batched_match_fn_3d)
+        _single_match_fn_3d)
     from cartographer_tpu.ops.bnb_3d import (
         FastCorrelativeMatcherParams3D, build_precomputation_stack_3d)
     from cartographer_tpu.ops.grid_3d import Grid3D, insert_range_data_3d
@@ -288,10 +291,14 @@ def bench_bnb_3d():
     high = Grid3D.create(S3, res, np.zeros(3))
     low = Grid3D.create(S3 // 2, 3 * res, np.zeros(3))
     origin = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
-    for k in range(3):
+    for k in range(6):
         pts = jnp.asarray(world + 0.02 * rng.randn(*world.shape).astype(np.float32))
         high = insert_range_data_3d(high, origin, pts, jnp.ones(len(world), bool))
-        low = insert_range_data_3d(low, origin, pts, jnp.ones(len(world), bool))
+        # Hits-only for the low grid: the coarse cells along every ray
+        # otherwise collect misses that drag the well-built-map probability
+        # under the matcher's low-resolution gate.
+        low = insert_range_data_3d(low, origin, pts, jnp.ones(len(world), bool),
+                                   num_free_space_voxels=0)
 
     params = FastCorrelativeMatcherParams3D(
         linear_xy_search_window=3.0, linear_z_search_window=0.5,
@@ -320,32 +327,37 @@ def bench_bnb_3d():
     submap_hist = np.asarray(compute_rotational_histogram(
         jnp.asarray(world[:2048]), jnp.ones(2048, bool), HB))
 
-    def bcast(x):
-        return jax.tree_util.tree_map(
-            lambda a: jnp.broadcast_to(a, (BATCH,) + a.shape), x)
+    # PRODUCTION single-chip path (constraint_builder_3d
+    # _compute_chunk_pipelined): one program per pair, pipelined, results
+    # stacked on device, ONE fetch per chunk.
+    match = _single_match_fn_3d(params, gn_params, 0.3)
+    hmask = np.ones(NH, bool)
+    lmask = np.ones(NL, bool)
 
-    stacks, highs, lows = bcast(stack), bcast(high), bcast(low)
-    submap_hists = jnp.broadcast_to(jnp.asarray(submap_hist), (BATCH, HB))
-    args = (stacks, highs, lows, jnp.asarray(high_pts),
-            jnp.ones((BATCH, NH), bool), jnp.asarray(low_pts),
-            jnp.ones((BATCH, NL), bool), jnp.asarray(scan_hists),
-            submap_hists, jnp.asarray(inits))
-    match = _batched_match_fn_3d(params, gn_params, 0.3, None)
-    scores0 = np.asarray(match(*args)[0])  # compile + content sanity
+    def chunk():
+        outs = [match(stack, high, low, high_pts[b], hmask, low_pts[b],
+                      lmask, scan_hists[b], submap_hist, inits[b])
+                for b in range(BATCH)]
+        return (jnp.sum(jnp.stack([o[0] for o in outs]))
+                + jnp.sum(jnp.stack([o[1] for o in outs])))
+
+    scores0 = np.asarray(jnp.stack(
+        [match(stack, high, low, high_pts[b], hmask, low_pts[b], lmask,
+               scan_hists[b], submap_hist, inits[b])[0]
+         for b in range(BATCH)]))
 
     def timed(k):
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            for i in range(k):
-                out = match(*args)
-            float(jnp.sum(out[0]) + jnp.sum(out[1]))
+            acc = [chunk() for _ in range(k)]
+            float(sum(acc))
             best = min(best, time.perf_counter() - t0)
         return best
 
     t2, t8 = timed(2), timed(8)
-    sec_per_dispatch = (t8 - t2) / 6
-    return BATCH / sec_per_dispatch, round(float(scores0.mean()), 3)
+    sec_per_chunk = (t8 - t2) / 6
+    return BATCH / sec_per_chunk, round(float(scores0.mean()), 3)
 
 
 def bench_pipeline_3d():
@@ -458,6 +470,16 @@ def bench_e2e_serving(num_robots: int = 16, scans_per_robot: int = 25):
         warm.add_range_data("laser", TimedPointCloudData(
             time=t0c + from_seconds(i * 0.1), origin=np.zeros(3, np.float32),
             ranges=scan_at(0.05 * i), times=np.zeros(n, np.float32)))
+    # Clean SINGLE-THREADED host/device split for the throughput model (the
+    # per-builder timers measured during the threaded run include GIL wait
+    # for the other 15 threads and would overstate the serialized term).
+    warm.host_seconds = warm.device_seconds = 0.0
+    for i in range(3, 13):
+        warm.add_range_data("laser", TimedPointCloudData(
+            time=t0c + from_seconds(i * 0.1), origin=np.zeros(3, np.float32),
+            ranges=scan_at(0.05 * i), times=np.zeros(n, np.float32)))
+    host_clean_s = (warm.host_seconds - warm.device_seconds) / 10
+    device_clean_s = warm.device_seconds / 10
 
     done = []
 
@@ -491,9 +513,11 @@ def bench_e2e_serving(num_robots: int = 16, scans_per_robot: int = 25):
     import jax.numpy as jnp
     total_scans = max(1, num_robots * scans_per_robot)
     fetches_per_scan = sum(b.device_fetches for b in builders) / total_scans
-    device_s = sum(b.device_seconds for b in builders) / total_scans
-    host_s = sum(b.host_seconds - b.device_seconds
-                 for b in builders) / total_scans
+    # Under concurrency the per-scan blocking device time GROWS (the tunnel
+    # serializes concurrent dispatch+fetch pairs — measured ~26 ms alone vs
+    # ~58 ms with 16 threads in flight), so the binding ceiling is the
+    # CONCURRENT device service rate, not the single-stream RTT.
+    device_conc_s = sum(b.device_seconds for b in builders) / total_scans
     tiny = jax.jit(lambda x: x + 1)
     float(tiny(jnp.float32(0)))  # compile
     t0 = time.perf_counter()
@@ -501,13 +525,16 @@ def bench_e2e_serving(num_robots: int = 16, scans_per_robot: int = 25):
     for i in range(reps):
         float(tiny(jnp.float32(i)))
     rtt = (time.perf_counter() - t0) / reps
-    model = 1.0 / max(host_s, device_s / num_robots, 1e-9)
+    model_clean = 1.0 / max(host_clean_s, device_clean_s / num_robots, 1e-9)
+    model_conc = 1.0 / max(host_clean_s, device_conc_s / num_robots, 1e-9)
     return throughput, {
         "device_fetches_per_scan": round(fetches_per_scan, 2),
-        "host_ms_per_scan": round(host_s * 1e3, 2),
-        "device_ms_per_scan": round(device_s * 1e3, 2),
+        "host_ms_per_scan": round(host_clean_s * 1e3, 2),
+        "device_ms_per_scan": round(device_clean_s * 1e3, 2),
+        "device_ms_per_scan_concurrent": round(device_conc_s * 1e3, 2),
         "measured_rtt_ms": round(rtt * 1e3, 2),
-        "model_ceiling_scans_per_sec": round(model, 1),
+        "model_ceiling_scans_per_sec": round(model_clean, 1),
+        "model_ceiling_concurrent_scans_per_sec": round(model_conc, 1),
     }
 
 

@@ -45,9 +45,11 @@ class TpuOptions2D:
     # survivor count (~2x min_num_points at the 10% bisection tolerance).
     matcher_capacity: int = 512
     # Static capacity of the loop-closure node cloud (the coarser
-    # loop_closure_adaptive_voxel_filter targets ~100 points); sizes the
-    # per-candidate gather cost of the BnB matcher.
-    loop_closure_capacity: int = 256
+    # loop_closure_adaptive_voxel_filter targets ~100 points — 128 holds
+    # that with headroom); sizes the per-candidate gather cost AND the
+    # count-image contraction of the BnB matcher, so dead padding lanes
+    # cost real matcher time (measured ~1.9x at 256).
+    loop_closure_capacity: int = 128
 
 
 @dataclasses.dataclass(frozen=True)

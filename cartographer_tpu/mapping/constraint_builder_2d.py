@@ -66,6 +66,18 @@ def _refined_match_fn(gn_params):
 
 
 @lru_cache(maxsize=None)
+def _single_match_fn(bnb_params, gn_params, window):
+    """Process-wide jitted ONE-pair matcher for the pipelined dispatch path:
+    on a single device, one program per pair dispatched back-to-back (the
+    device queue pipelines them, results stacked on device, ONE fetch per
+    chunk) runs ~3.5x faster per pair than one vmapped batch-16 program —
+    the batched program's working set (per-pair count images + bound
+    tables) spills, serializing the whole dispatch."""
+    return jax.jit(partial(_match_impl, window=window,
+                           bnb_params=bnb_params, gn_params=gn_params))
+
+
+@lru_cache(maxsize=None)
 def _batched_match_fn(bnb_params, gn_params, window, mesh):
     """Process-wide jitted batched matcher: BnB + GN refine vmapped over the
     pairs axis, sharded over `mesh` when given. Shared across ALL
@@ -375,9 +387,25 @@ class ConstraintBuilder2D:
         bcap = 1 << math.ceil(math.log2(max(B, 1)))
         use_mesh = (self._mesh is not None
                     and bcap >= self._mesh.devices.size)
-        if use_mesh:
-            m = self._mesh.devices.size
-            bcap = ((bcap + m - 1) // m) * m
+        if not use_mesh:
+            # Single device: pipelined per-pair dispatch (see
+            # _single_match_fn) — results stacked ON DEVICE so the chunk
+            # still costs one blocking fetch.
+            fn = _single_match_fn(self._bnb_params, self._gn_params, None)
+            outs = []
+            for i, r in enumerate(group):
+                pts1 = np.zeros((pts_cap, 2), np.float32)
+                n = min(len(r.points), pts_cap)
+                pts1[:n] = r.points[:n]
+                m1 = np.zeros(pts_cap, bool)
+                m1[:n] = True
+                outs.append(fn(pyramids[i], grids[i], pts1, m1,
+                               np.asarray(r.init, np.float32)))
+            scores = np.asarray(jnp.stack([o[0] for o in outs]))
+            poses = np.asarray(jnp.stack([o[1] for o in outs]))
+            return scores, poses
+        m = self._mesh.devices.size
+        bcap = ((bcap + m - 1) // m) * m
 
         def padded(items, pad_with):
             return items + [pad_with] * (bcap - len(items))
@@ -395,8 +423,7 @@ class ConstraintBuilder2D:
             inits[i] = r.init
 
         fn = _batched_match_fn(
-            self._bnb_params, self._gn_params, None,
-            self._mesh if use_mesh else None)
+            self._bnb_params, self._gn_params, None, self._mesh)
         scores, poses = fn(pyramids, grid_stack, jnp.asarray(pts),
                            jnp.asarray(mask), jnp.asarray(inits))
         # One host sync for the whole chunk; padding lanes discarded.

@@ -73,6 +73,16 @@ def _match_impl_3d(stack, high_grid, low_grid, high_pts, high_mask,
 
 
 @lru_cache(maxsize=None)
+def _single_match_fn_3d(bnb_params, gn_params, min_score):
+    """Process-wide jitted ONE-pair 3D matcher for the pipelined dispatch
+    path (single device): per-pair programs dispatched back-to-back with
+    results stacked on device avoid the vmapped batch's working-set spill
+    (see constraint_builder_2d._single_match_fn)."""
+    return jax.jit(partial(_match_impl_3d, bnb_params=bnb_params,
+                           gn_params=gn_params, min_score=min_score))
+
+
+@lru_cache(maxsize=None)
 def _batched_match_fn_3d(bnb_params, gn_params, min_score, mesh):
     """Process-wide jitted batched 3D matcher: BnB + GN refine vmapped over
     pairs, sharded over `mesh` when given. Shared across ALL builder
@@ -260,9 +270,10 @@ class ConstraintBuilder3D:
         bcap = 1 << math.ceil(math.log2(max(B, 1)))
         use_mesh = (self._mesh is not None
                     and bcap >= self._mesh.devices.size)
-        if use_mesh:
-            m = self._mesh.devices.size
-            bcap = ((bcap + m - 1) // m) * m
+        if not use_mesh:
+            return self._compute_chunk_pipelined(group)
+        m = self._mesh.devices.size
+        bcap = ((bcap + m - 1) // m) * m
 
         def padded(items):
             return items + [items[0]] * (bcap - len(items))
@@ -299,17 +310,49 @@ class ConstraintBuilder3D:
 
         fn = _batched_match_fn_3d(
             self._bnb_params, self._gn_params,
-            float(self._options.min_score),
-            self._mesh if use_mesh else None)
+            float(self._options.min_score), self._mesh)
         scores, poses, rot_scores, low_scores = fn(
             stacks, highs, lows, high_pts, high_mask, low_pts, low_mask,
             shist, subhist, jnp.asarray(inits))
         # One host sync for the whole chunk.
-        scores = np.asarray(scores)
-        poses = np.asarray(poses)
-        rot_scores = np.asarray(rot_scores)
-        low_scores = np.asarray(low_scores)
+        return self._results_from_arrays(
+            group, np.asarray(scores), np.asarray(poses),
+            np.asarray(rot_scores), np.asarray(low_scores))
 
+    def _compute_chunk_pipelined(self, group: List[MatchRequest3D]
+                                 ) -> List[MatchResult3D]:
+        """Single device: one program per pair, dispatched back-to-back
+        (device queue pipelines), results stacked ON DEVICE — one blocking
+        fetch per chunk, no vmapped working-set spill."""
+        fn = _single_match_fn_3d(self._bnb_params, self._gn_params,
+                                 float(self._options.min_score))
+
+        def pad_cloud(c, cap):
+            pts = np.zeros((cap, 3), np.float32)
+            n = min(len(c), cap)
+            pts[:n] = c[:n]
+            mask = np.zeros(cap, bool)
+            mask[:n] = True
+            return pts, mask
+
+        outs = []
+        for r in group:
+            hp, hm = pad_cloud(r.high_points, _HIGH_CAP)
+            lp, lm = pad_cloud(r.low_points, _LOW_CAP)
+            init = np.concatenate([
+                np.asarray(r.init_t, np.float32),
+                np.asarray(r.init_q, np.float32)])
+            outs.append(fn(
+                r.stack, r.high_grid, r.low_grid, hp, hm, lp, lm,
+                np.asarray(r.scan_histogram, np.float32),
+                np.asarray(r.submap_histogram, np.float32), init))
+        stacked = [jnp.stack([o[k] for o in outs]) for k in range(4)]
+        return self._results_from_arrays(
+            group, np.asarray(stacked[0]), np.asarray(stacked[1]),
+            np.asarray(stacked[2]), np.asarray(stacked[3]))
+
+    def _results_from_arrays(self, group, scores, poses, rot_scores,
+                             low_scores) -> List[MatchResult3D]:
         min_score = self._options.min_score
         out = []
         for i, r in enumerate(group):
