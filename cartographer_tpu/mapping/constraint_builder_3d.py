@@ -73,6 +73,17 @@ def _match_impl_3d(stack, high_grid, low_grid, high_pts, high_mask,
 
 
 @lru_cache(maxsize=None)
+def _single_refine_fn_3d(gn_params):
+    """Jitted GN refine for the (rare) full-submap match results."""
+    def refine(high_grid, low_grid, hp, hm, lp, lm, pose_vec):
+        refined, cost = gauss_newton_match_3d(
+            high_grid, low_grid, hp, hm, lp, lm,
+            Rigid3(pose_vec[0:3], pose_vec[3:7]), gn_params)
+        return jnp.concatenate([refined.translation, refined.rotation]), cost
+    return jax.jit(refine)
+
+
+@lru_cache(maxsize=None)
 def _single_match_fn_3d(bnb_params, gn_params, min_score):
     """Process-wide jitted ONE-pair 3D matcher for the pipelined dispatch
     path (single device): per-pair programs dispatched back-to-back with
@@ -117,7 +128,12 @@ class MatchResult3D:
 
 @dataclasses.dataclass
 class MatchRequest3D:
-    """One gated (node, submap) candidate awaiting batched matching."""
+    """One gated (node, submap) candidate awaiting batched matching.
+
+    `match_full` requests search the WHOLE submap over the full yaw circle
+    (global localization); `init_q` then carries the node's rotation
+    relative to the submap (gravity-agreeing, yaw arbitrary) and `init_t`
+    is unused (fast_correlative_scan_matcher_3d.cc:147-169)."""
 
     submap_id: SubmapId
     node_id: NodeId
@@ -130,6 +146,7 @@ class MatchRequest3D:
     submap_histogram: np.ndarray
     init_t: np.ndarray  # (3,) node translation estimate in the grid frame
     init_q: np.ndarray  # (4,)
+    match_full: bool = False
 
 
 class ConstraintBuilder3D:
@@ -171,11 +188,15 @@ class ConstraintBuilder3D:
             "Constraints computed")
         self._metric_found = found.add({"search_region": "local_search",
                                         "matcher": "searched"})
+        self._metric_found_global = found.add(
+            {"search_region": "global_search", "matcher": "searched"})
         scores = factory.new_histogram_family(
             "mapping_constraints_constraint_builder_3d_scores",
             "Constraint scores built", [0.05 * i for i in range(1, 20)])
         self._metric_scores = scores.add({"search_region": "local_search",
                                           "kind": "score"})
+        self._metric_scores_global = scores.add(
+            {"search_region": "global_search", "kind": "score"})
         self._metric_rot_scores = scores.add(
             {"search_region": "local_search", "kind": "rotational_score"})
         self._metric_low_scores = scores.add(
@@ -246,6 +267,46 @@ class ConstraintBuilder3D:
             init_t=np.asarray(init_t, np.float64),
             init_q=np.asarray(init_q, np.float64))
 
+    def begin_global_constraint(
+        self, submap_id: SubmapId, submap, node_id: NodeId,
+        high_points: np.ndarray, low_points: np.ndarray,
+        scan_histogram: np.ndarray, relative_q: np.ndarray,
+    ) -> Optional[MatchRequest3D]:
+        """Full-submap search request for 3D global localization
+        (MaybeAddGlobalConstraint, constraint_builder_3d.cc:116-148): no
+        distance gate, no per-submap sampler — the pose graph's global
+        sampler is the only gate. `relative_q` is the node's rotation
+        relative to the submap frame (yaw arbitrary, gravity shared)."""
+        if len(high_points) == 0:
+            return None
+        matcher = self._matcher_for(submap_id, submap)
+        if matcher is None:
+            return None
+        stack, high, low, submap_hist = matcher
+        return MatchRequest3D(
+            submap_id=submap_id, node_id=node_id, stack=stack,
+            high_grid=high, low_grid=low,
+            high_points=np.asarray(high_points, np.float32)[:, :3],
+            low_points=np.asarray(low_points, np.float32)[:, :3],
+            scan_histogram=np.asarray(scan_histogram, np.float32),
+            submap_histogram=submap_hist,
+            init_t=np.zeros(3), init_q=np.asarray(relative_q, np.float64),
+            match_full=True)
+
+    def maybe_add_global_constraint(
+        self, submap_id: SubmapId, submap, node_id: NodeId,
+        high_points: np.ndarray, low_points: np.ndarray,
+        scan_histogram: np.ndarray, relative_q: np.ndarray,
+    ) -> Optional[MatchResult3D]:
+        """Single-pair convenience wrapper over the batched path."""
+        req = self.begin_global_constraint(
+            submap_id, submap, node_id, high_points, low_points,
+            scan_histogram, relative_q)
+        if req is None:
+            return None
+        out = self.compute_constraints([req])
+        return out[0] if out else None
+
     # ------------------------------------------------------------------ API
 
     def compute_constraints(self, requests: List[MatchRequest3D]
@@ -253,16 +314,72 @@ class ConstraintBuilder3D:
         """Match a batch of gated candidate pairs in as few device programs
         as possible: requests group by grid-shape bucket, pad to a
         mesh-divisible batch, and run through one vmapped (and, on a mesh,
-        pairs-sharded) program per chunk — ONE host sync per chunk."""
+        pairs-sharded) program per chunk — ONE host sync per chunk.
+        Full-submap (global localization) requests run one certified
+        widening search each — they are rare (globally sampled) and a
+        missed first cross-trajectory constraint is unrecoverable."""
         results: List[MatchResult3D] = []
         groups: Dict[Tuple[int, int], List[MatchRequest3D]] = {}
         for r in requests:
+            if r.match_full:
+                res = self._compute_global(r)
+                if res is not None:
+                    results.append(res)
+                continue
             groups.setdefault(
                 (r.high_grid.size, r.low_grid.size), []).append(r)
         for group in groups.values():
             for i in range(0, len(group), _MAX_CHUNK_3D):
                 results.extend(self._compute_chunk(group[i:i + _MAX_CHUNK_3D]))
         return results
+
+    def _compute_global(self, r: MatchRequest3D) -> Optional[MatchResult3D]:
+        """One full-submap search (ComputeConstraint with match_full_submap,
+        constraint_builder_3d.cc:178-277): certified-widening BnB over the
+        whole grid and yaw circle, thresholded at
+        global_localization_min_score, then the same GN refine as the local
+        path."""
+        from cartographer_tpu.ops.bnb_3d import match_full_submap_3d_exact
+
+        def pad_cloud(c, cap):
+            pts = np.zeros((cap, 3), np.float32)
+            n = min(len(c), cap)
+            pts[:n] = c[:n]
+            mask = np.zeros(cap, bool)
+            mask[:n] = True
+            return jnp.asarray(pts), jnp.asarray(mask)
+
+        hp, hm = pad_cloud(r.high_points, _HIGH_CAP)
+        lp, lm = pad_cloud(r.low_points, _LOW_CAP)
+        min_score = float(self._options.global_localization_min_score)
+        found, score, pose, rot_score, low_score, _cert = (
+            match_full_submap_3d_exact(
+                r.stack, r.high_grid, r.low_grid, hp, hm, lp, lm,
+                jnp.asarray(r.scan_histogram, jnp.float32),
+                jnp.asarray(r.submap_histogram, jnp.float32),
+                jnp.asarray(r.init_q, jnp.float32), jnp.asarray(
+                    np.array([1.0, 0, 0, 0], np.float32)),
+                self._bnb_params, min_score))
+        self.score_histogram.add(score)
+        self._metric_scores_global.observe(score)
+        if not found or score < min_score:
+            return None
+        refined, _ = _single_refine_fn_3d(self._gn_params)(
+            r.high_grid, r.low_grid, hp, hm, lp, lm,
+            jnp.concatenate([pose.translation, pose.rotation]))
+        refined = np.asarray(refined)
+        if not np.all(np.isfinite(refined)):
+            return None
+        self.rotational_score_histogram.add(rot_score)
+        self.low_resolution_score_histogram.add(low_score)
+        self._metric_found_global.increment()
+        q = np.asarray(refined[3:7], np.float64)
+        q = q / max(np.linalg.norm(q), 1e-12)
+        return MatchResult3D(
+            submap_id=r.submap_id, node_id=r.node_id,
+            grid_t=np.asarray(refined[0:3], np.float64), grid_q=q,
+            score=score, rotational_score=rot_score,
+            low_resolution_score=low_score)
 
     def _compute_chunk(self, group: List[MatchRequest3D]
                        ) -> List[MatchResult3D]:

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from cartographer_tpu.core.config import PoseGraphOptions
-from cartographer_tpu.core.time import Time
+from cartographer_tpu.core.sampler import FixedRatioSampler
+from cartographer_tpu.core.time import Time, from_seconds
 from cartographer_tpu.mapping.id import MapById, NodeId, SubmapId
 from cartographer_tpu.mapping.constraint_builder_3d import ConstraintBuilder3D
 from cartographer_tpu.mapping.submap_3d import Submap3D
@@ -140,10 +141,14 @@ class PoseGraph3D:
                 max_workers=1, thread_name_prefix="optimizer3d")
         self._constraint_builder = ConstraintBuilder3D(
             options.constraint_builder, mesh=mesh)
+        # Per-trajectory global localization samplers
+        # (pose_graph_3d.cc:190-192 AddTrajectoryIfNeeded).
+        self._global_samplers: Dict[int, FixedRatioSampler] = {}
 
         self.nodes: MapById[TrajectoryNode3D] = MapById()
         self.submap_data: MapById[SubmapDataEntry3D] = MapById()
         self.constraints: List[Constraint3D] = []
+        self._trimmers: List = []
         self._num_nodes_since_last_optimization = 0
         self._frozen_trajectories: Set[int] = set()
         from cartographer_tpu.mapping.connectivity import TrajectoryConnectivityState
@@ -266,6 +271,12 @@ class PoseGraph3D:
 
     def transitively_connected(self, a: int, b: int) -> bool:
         return self._connectivity.transitively_connected(a, b)
+
+    def _global_sampler_for(self, trajectory_id: int) -> FixedRatioSampler:
+        if trajectory_id not in self._global_samplers:
+            self._global_samplers[trajectory_id] = FixedRatioSampler(
+                self._options.global_sampling_ratio)
+        return self._global_samplers[trajectory_id]
 
     # ---------------------------------------------------------- node intake
 
@@ -403,10 +414,12 @@ class PoseGraph3D:
     # ---------------------------------------------------------- loop closure
 
     def _compute_constraints_batch(self, pairs) -> None:
-        """ComputeConstraint (pose_graph_3d.cc) over a batch of
-        (node_id, submap_id) pairs: distance + sampling gates, then all
-        surviving requests matched in one batched device dispatch
-        (constraint_builder_3d.compute_constraints).
+        """ComputeConstraint (pose_graph_3d.cc:285-305) over a batch of
+        (node_id, submap_id) pairs: a LOCAL-window search when the node and
+        submap trajectories are the same or recently connected, otherwise a
+        globally-sampled FULL-SUBMAP search (the 3D global localization
+        path); all surviving local requests matched in one batched device
+        dispatch (constraint_builder_3d.compute_constraints).
 
         Frames: grids live in the trajectory-local frame; each submap's SPA
         frame is anchored at the submap origin (pure translation), so
@@ -433,10 +446,31 @@ class PoseGraph3D:
                 low_cloud = node.low_res_cloud
                 scan_hist = node.scan_histogram
                 ntime = node.time
-            req = self._constraint_builder.begin_constraint(
-                submap_id, submap, node_id, high_cloud, low_cloud,
-                scan_hist, anchor_t + rel_t, rel_q,
-                relative_distance=float(np.linalg.norm(rel_t)))
+                # Recency gate (pose_graph_3d.cc:285-305): local window only
+                # when the trajectories were connected recently; otherwise
+                # the per-trajectory global sampler decides whether to run
+                # the full-submap search.
+                last_conn = self._connectivity.last_connection_time(
+                    node_id.trajectory_id, submap_id.trajectory_id)
+                recent = (last_conn is not None and ntime < last_conn
+                          + from_seconds(
+                              self._options.global_constraint_search_after_n_seconds))
+                is_local = (node_id.trajectory_id == submap_id.trajectory_id
+                            or recent)
+                global_pulse = (
+                    False if is_local else
+                    self._global_sampler_for(node_id.trajectory_id).pulse())
+            if is_local:
+                req = self._constraint_builder.begin_constraint(
+                    submap_id, submap, node_id, high_cloud, low_cloud,
+                    scan_hist, anchor_t + rel_t, rel_q,
+                    relative_distance=float(np.linalg.norm(rel_t)))
+            elif global_pulse:
+                req = self._constraint_builder.begin_global_constraint(
+                    submap_id, submap, node_id, high_cloud, low_cloud,
+                    scan_hist, rel_q)
+            else:
+                req = None
             if req is not None:
                 requests.append(req)
                 anchors[(node_id, submap_id)] = anchor_t
@@ -776,8 +810,56 @@ class PoseGraph3D:
                     node.global_t, node.global_q = _compose(
                         ct, cq, node.global_t, node.global_q)
             self._num_nodes_since_last_optimization = 0
+            self._run_trimmers()
         for cb in self._global_optimization_callbacks:
             cb()
+
+    # ------------------------------------------------------------ trimming
+
+    def add_trimmer(self, trimmer) -> None:
+        """PoseGraph3D::AddTrimmer (pose_graph_3d.cc:802); trimmers run
+        after each optimization like the reference's HandleWorkQueue."""
+        self._trimmers.append(trimmer)
+
+    def _run_trimmers(self) -> None:
+        for trimmer in list(self._trimmers):
+            trimmer.trim(self)
+            if trimmer.is_finished():
+                self._trimmers.remove(trimmer)
+
+    # -- Trimmable handle API (pose_graph_trimmer.h:28-54) -------------------
+
+    def get_submap_ids(self, trajectory_id: int) -> List[SubmapId]:
+        return [SubmapId(trajectory_id, i)
+                for i, _ in self.submap_data.trajectory(trajectory_id)]
+
+    def get_all_submap_ids(self) -> List[SubmapId]:
+        return [SubmapId(t, i) for (t, i), _ in self.submap_data.items()]
+
+    def trim_submap(self, submap_id: SubmapId) -> None:
+        """TrimSubmap via the Trimmable handle: drop the submap, its
+        constraints, its matcher-cache entry, and nodes left without any
+        INTRA constraint (pose_graph_3d.cc TrimmingHandle::TrimSubmap)."""
+        if submap_id not in self.submap_data:
+            return
+        del self.submap_data[submap_id]
+        self._constraint_builder.remove_submap(submap_id)
+        kept = []
+        nodes_still_referenced = set()
+        for c in self.constraints:
+            if c.submap_id == submap_id:
+                continue
+            kept.append(c)
+            if c.tag == "INTRA_SUBMAP":
+                nodes_still_referenced.add(c.node_id)
+        self.constraints = kept
+        for (tid, nindex), _ in list(self.nodes.items()):
+            nid = NodeId(tid, nindex)
+            if nid not in nodes_still_referenced:
+                del self.nodes[nid]
+        self.constraints = [
+            c for c in self.constraints
+            if c.node_id in nodes_still_referenced]
 
     def _solve_schur_3d(self, sub_ts, sub_qs, sub_free, grav_clamp,
                         nod_ts, nod_qs, nod_free, bin_terms, nn_terms,

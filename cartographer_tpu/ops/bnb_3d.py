@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from functools import lru_cache, partial
 from typing import Tuple
 
 import jax
@@ -509,6 +510,25 @@ def fast_correlative_match_3d(
     w_xy = int(math.ceil(params.linear_xy_search_window / res))
     w_z = int(math.ceil(params.linear_z_search_window / res))
 
+    return _match_tail(
+        stack, grid, low_grid, base_cells, mask, low_base, low_mask,
+        yaw_alive, rot_scores,
+        quat.multiply(yaw_qs, initial_pose.rotation[None, :]),
+        initial_pose.translation, w_xy, w_z, num_angles, params, min_score,
+        method, with_certificate)
+
+
+def _match_tail(stack, grid, low_grid, base_cells, mask, low_base, low_mask,
+                yaw_alive, rot_scores, yaw_qs_abs, init_translation,
+                w_xy, w_z, num_angles, params, min_score, method,
+                with_certificate):
+    """Translation search + low-resolution gate + best-candidate selection,
+    shared by the local-window matcher and MatchFullSubmap. `yaw_qs_abs` are
+    the ABSOLUTE candidate rotations (yaw delta already composed with the
+    initial rotation), aligned with the yaw axis of `base_cells`/`low_base`/
+    `rot_scores`."""
+    size = grid.size
+    res = grid.resolution
     if method == "dense":
         a_idx, ox, oy, oz, scores, dropped_max = _dense_candidates_3d(
             stack, base_cells, mask, yaw_alive, w_xy, w_z, size,
@@ -542,14 +562,157 @@ def fast_correlative_match_3d(
 
     offset = jnp.stack([lx[best], ly[best], lz[best]]).astype(jnp.float32) * res
     pose = Rigid3(
-        initial_pose.translation + offset,
-        quat.normalize(quat.multiply(yaw_qs[la[best]], initial_pose.rotation)),
+        init_translation + offset,
+        quat.normalize(yaw_qs_abs[la[best]]),
     )
     if with_certificate:
         certified = (best_score >= dropped_max) | (dropped_max <= min_score)
         return (found, best_score, pose, rot_scores[la[best]],
                 low_scores[best], certified)
     return found, best_score, pose, rot_scores[la[best]], low_scores[best]
+
+
+def match_full_submap_3d(
+    stack: PrecomputationStack3D,
+    grid: Grid3D,
+    low_grid: Grid3D,
+    points: jnp.ndarray,  # (N, 3) node cloud (high-res filtered)
+    mask: jnp.ndarray,
+    low_points: jnp.ndarray,
+    low_mask: jnp.ndarray,
+    scan_histogram: jnp.ndarray,
+    submap_histogram: jnp.ndarray,
+    node_rotation: jnp.ndarray,  # (4,) global node rotation (gravity-aligned)
+    submap_rotation: jnp.ndarray,  # (4,) global submap rotation
+    params: FastCorrelativeMatcherParams3D,
+    min_score: float,
+    top_k_yaws: int = 64,
+    extra_window_cells: int = 4,
+    method: str = "auto",
+    with_certificate: bool = False,
+):
+    """MatchFullSubmap: global 3D localization with no pose prior.
+
+    Reference fast_correlative_scan_matcher_3d.cc:147-169: the node and
+    submap global rotations agree only on gravity (their relative yaw is
+    arbitrary), the angular window is the FULL circle, and the linear window
+    covers the whole submap. TPU design: candidate yaws are laid out densely
+    over the full circle at the reference's angular step, scored against the
+    submap rotational histogram in one vectorized pass, and the top-K
+    surviving yaws (min_rotational_score gate) enter the SAME translation
+    search as the local-window matcher with the window widened to the grid
+    half-size + `extra_window_cells`. The reference instead widens by the
+    node's max point range so even a sensor origin outside the grid can be
+    found; a static-shape search centers on origin-in-grid — the case a
+    relocalizing robot is in — plus the margin.
+
+    With `with_certificate`, `certified` additionally requires that the
+    top-K yaw truncation dropped no yaw passing the rotational gate
+    (the reference searches every surviving yaw).
+
+    Returns (found, score, pose_in_grid_frame, rotational_score,
+    low_resolution_score[, certified]).
+    """
+    res = grid.resolution
+    size = grid.size
+    frd = stack.full_resolution_depth
+    if method == "auto":
+        method = "dense" if jax.default_backend() == "tpu" else "beam"
+    if method == "dense" and (size % 4 != 0 or frd < 2):
+        method = "beam"
+
+    # Relative rotation in the grid frame; its yaw component is arbitrary
+    # (the search owns yaw), roll/pitch encode the shared gravity alignment.
+    q_rel = quat.normalize(
+        quat.multiply(quat.conjugate(submap_rotation), node_rotation))
+    center = grid.origin + 0.5 * size * res
+
+    # Dense full-circle yaw candidates at the reference's angular step
+    # (GenerateDiscreteScans with angular window pi), statically bounded.
+    step = (1.0 - 1e-3) * math.acos(
+        1.0 - res**2 / (2.0 * params.max_scan_range**2))
+    n_yaws = min(2 * int(math.ceil(math.pi / step)) + 1, 4096)
+    deltas = (jnp.arange(n_yaws, dtype=jnp.float32)
+              - n_yaws // 2) * (2.0 * math.pi / n_yaws)
+
+    initial_yaw = quat.get_yaw(q_rel)
+    rot_scores_all = match_histograms(
+        submap_histogram, scan_histogram, initial_yaw + deltas)
+    alive_all = rot_scores_all >= params.min_rotational_score
+    ranked = jnp.where(alive_all, rot_scores_all, -jnp.inf)
+    K = min(top_k_yaws, n_yaws)
+    _, sel = jax.lax.top_k(ranked, K)
+    yaw_alive = alive_all[sel]
+    rot_scores = rot_scores_all[sel]
+    sel_deltas = deltas[sel]
+
+    yaw_qs = quat.from_yaw(sel_deltas)  # (K, 4)
+    rotated = quat.rotate(yaw_qs[:, None, :],
+                          quat.rotate(q_rel[None, None, :],
+                                      points[None, :, :]))
+    base_cells = grid.world_to_cell(rotated + center[None, None, :])
+    low_rotated = quat.rotate(yaw_qs[:, None, :],
+                              quat.rotate(q_rel[None, None, :],
+                                          low_points[None, :, :]))
+    low_base = low_grid.world_to_cell(low_rotated + center[None, None, :])
+
+    w = size // 2 + extra_window_cells
+    out = _match_tail(
+        stack, grid, low_grid, base_cells, mask, low_base, low_mask,
+        yaw_alive, rot_scores, quat.multiply(yaw_qs, q_rel[None, :]),
+        center, w, w, K, params, min_score, method, with_certificate)
+    if with_certificate:
+        found, score, pose, rot, low, certified = out
+        certified = certified & (jnp.sum(alive_all) <= K)
+        return found, score, pose, rot, low, certified
+    return out
+
+
+@lru_cache(maxsize=None)
+def _full_submap_match_fn(params: FastCorrelativeMatcherParams3D,
+                          min_score: float, top_k_yaws: int):
+    return jax.jit(partial(
+        match_full_submap_3d, params=params, min_score=min_score,
+        top_k_yaws=top_k_yaws, with_certificate=True))
+
+
+def match_full_submap_3d_exact(
+    stack: PrecomputationStack3D,
+    grid: Grid3D,
+    low_grid: Grid3D,
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    low_points: jnp.ndarray,
+    low_mask: jnp.ndarray,
+    scan_histogram: jnp.ndarray,
+    submap_histogram: jnp.ndarray,
+    node_rotation: jnp.ndarray,
+    submap_rotation: jnp.ndarray,
+    params: FastCorrelativeMatcherParams3D,
+    min_score: float,
+    max_beam: int = 32768,
+    max_yaws: int = 512,
+):
+    """Certified MatchFullSubmap by iterative widening (the 3D analog of
+    bnb_2d.match_full_submap_exact): rerun with doubled beam width and yaw
+    budget until the optimality certificate holds or the budgets cap out —
+    a missed first cross-trajectory constraint is unrecoverable, so global
+    localization keeps the reference's exact-DFS semantics where feasible.
+    Returns (found, score, pose, rotational_score, low_resolution_score,
+    certified) as host values."""
+    beam = params.beam_width
+    top_k = 64
+    while True:
+        p = dataclasses.replace(params, beam_width=beam)
+        found, score, pose, rot, low, cert = _full_submap_match_fn(
+            p, min_score, top_k)(
+            stack, grid, low_grid, points, mask, low_points, low_mask,
+            scan_histogram, submap_histogram, node_rotation, submap_rotation)
+        if bool(cert) or (beam >= max_beam and top_k >= max_yaws):
+            return (bool(found), float(score), pose, float(rot), float(low),
+                    bool(cert))
+        beam = min(2 * beam, max_beam)
+        top_k = min(2 * top_k, max_yaws)
 
 
 def _score_3d(level: jnp.ndarray, base_cells: jnp.ndarray,
