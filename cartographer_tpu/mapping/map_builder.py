@@ -312,10 +312,10 @@ class MapBuilder:
         self._builders[trajectory_id] = builder
         self._sensor_ids[trajectory_id] = list(expected_sensor_ids)
 
-        if (trajectory_options.pure_localization_trimmer is not None
-                and hasattr(self.pose_graph, "add_trimmer")):
+        if trajectory_options.pure_localization_trimmer is not None:
             # Pure localization: keep only the last N submaps of this
-            # trajectory (map_builder.cc:56-73).
+            # trajectory — wired for BOTH dimensions like the reference
+            # (map_builder.cc:56-73,146).
             from cartographer_tpu.mapping.trimmers import PureLocalizationTrimmer
             self.pose_graph.add_trimmer(PureLocalizationTrimmer(
                 trajectory_id,
