@@ -56,12 +56,26 @@ class MapBuilderServer:
         if options.uplink_server_address:
             from cartographer_tpu.cloud.uploader import LocalTrajectoryUploader
             self._uploader = LocalTrajectoryUploader(
-                options.uplink_server_address, options.upload_batch_size)
+                options.uplink_server_address, options.upload_batch_size,
+                ssl_root_certs_path=(options.ssl_root_certs_path
+                                     if options.enable_ssl_encryption else None))
 
         self._grpc_server = grpc.server(
             futures.ThreadPoolExecutor(max_workers=options.num_grpc_threads))
         self._grpc_server.add_generic_rpc_handlers([self._make_handlers()])
-        self.port = self._grpc_server.add_insecure_port(options.server_address)
+        if options.enable_ssl_encryption:
+            # Serve TLS (the reference's async_grpc server credential path;
+            # client side mirrored in local_trajectory_uploader.cc:112-118).
+            with open(options.ssl_private_key_path, "rb") as f:
+                key = f.read()
+            with open(options.ssl_certificate_path, "rb") as f:
+                cert = f.read()
+            creds = grpc.ssl_server_credentials([(key, cert)])
+            self.port = self._grpc_server.add_secure_port(
+                options.server_address, creds)
+        else:
+            self.port = self._grpc_server.add_insecure_port(
+                options.server_address)
         self._monitoring_server = None
         self.monitoring_port = None
 
@@ -304,23 +318,43 @@ class MapBuilderServer:
 
     def _get_submap_texture(self, request, context):
         """SubmapQuery path (cloud handlers + io/submap_painter.cc): render
-        one submap's grid to a grayscale texture."""
+        one submap's grid to a grayscale texture. 3D submaps return the
+        reference's two-texture response — high- then low-resolution x-ray
+        projections (Submap3D::ToResponseProto, submap_3d.cc:310)."""
         self._drain()
-        from cartographer_tpu.io.submap_painter import submap_to_image
+        from cartographer_tpu.io.submap_painter import (
+            submap_3d_to_textures,
+            submap_to_image,
+        )
         from cartographer_tpu.mapping.id import SubmapId
 
         sid = SubmapId(request["trajectory_id"], request["submap_index"])
         entry = self.map_builder.pose_graph.submap_data.get(sid)
-        if entry is None or getattr(entry.submap, "grid", None) is None:
+        if entry is None:
+            context.abort(grpc.StatusCode.NOT_FOUND, f"no submap {sid}")
+        submap = entry.submap
+        if getattr(submap, "high_grid", None) is not None:
+            textures = submap_3d_to_textures(submap)
+            primary = textures[0]
+            return {
+                # Primary (high-resolution) texture stays flat so 2D-era
+                # clients render something sensible...
+                **{k: primary[k] for k in
+                   ("width", "height", "cells", "origin", "resolution")},
+                "num_range_data": submap.num_range_data,
+                # ...and the full two-texture 3D response rides alongside.
+                "textures": textures,
+            }
+        if getattr(submap, "grid", None) is None:
             context.abort(grpc.StatusCode.NOT_FOUND, f"no finished submap {sid}")
-        img, origin = submap_to_image(entry.submap.grid)
+        img, origin = submap_to_image(submap.grid)
         return {
             "width": int(img.shape[1]),
             "height": int(img.shape[0]),
             "cells": img.tobytes(),
             "origin": [float(origin[0]), float(origin[1])],
-            "resolution": entry.submap.grid.resolution,
-            "num_range_data": entry.submap.num_range_data,
+            "resolution": submap.grid.resolution,
+            "num_range_data": submap.num_range_data,
         }
 
     def _get_trajectory_node_poses(self, request, context):

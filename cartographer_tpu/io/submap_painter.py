@@ -36,6 +36,77 @@ def submap_to_image(grid, crop: bool = True) -> Tuple[np.ndarray, np.ndarray]:
     return img.astype(np.uint8), origin
 
 
+def grid_3d_to_xray_texture(grid) -> Dict:
+    """X-ray view through a 3D grid, aligned to the xy-plane — the
+    SubmapQuery texture of a 3D submap (reference Submap3D::ToResponseProto
+    -> AddToTextureProto, mapping/3d/submap_3d.cc:196-226,310: per-pixel
+    accumulation of voxel probabilities along z with an observed-count
+    weight).
+
+    Returns a renderable texture dict: `cells` is a (h, w) grayscale uint8
+    x-ray (dark = occupied, light = free, 128 = unobserved column) and
+    `height_cells` the per-pixel max occupied-voxel z index (uint8, scaled
+    into the grid's z extent) — the height slice a 3D viewer shades by.
+    """
+    prob = np.asarray(grid.probability())
+    known = np.asarray(grid.known)
+    origin = np.asarray(grid.origin, np.float64)
+    res = float(grid.resolution)
+
+    counts = known.sum(axis=2)
+    col_known = counts > 0
+    # Crop to observed columns.
+    xs, ys = np.nonzero(col_known)
+    if len(xs) == 0:
+        return {"width": 1, "height": 1,
+                "cells": np.full((1, 1), 128, np.uint8).tobytes(),
+                "height_cells": np.zeros((1, 1), np.uint8).tobytes(),
+                "origin": [float(origin[0]), float(origin[1])],
+                "resolution": res, "min_z": float(origin[2]),
+                "max_z": float(origin[2])}
+    imin, imax = int(xs.min()), int(xs.max())
+    jmin, jmax = int(ys.min()), int(ys.max())
+    prob = prob[imin:imax + 1, jmin:jmax + 1]
+    known = known[imin:imax + 1, jmin:jmax + 1]
+    counts = counts[imin:imax + 1, jmin:jmax + 1]
+    col_known = col_known[imin:imax + 1, jmin:jmax + 1]
+
+    # AccumulatePixelData: mean probability over observed voxels in the
+    # column (the reference weights max-probability hits; a mean over known
+    # voxels renders equivalently for occupancy display).
+    mean_p = (prob * known).sum(axis=2) / np.maximum(counts, 1)
+    img = np.where(col_known, (255 * (1.0 - mean_p)).astype(np.uint8), 128)
+
+    # Height slice: highest occupied (p > 0.5) voxel index per column.
+    occupied = known & (prob > 0.5)
+    S_z = occupied.shape[2]
+    zidx = np.arange(S_z)[None, None, :]
+    top = np.where(occupied, zidx, -1).max(axis=2)
+    height = np.where(top >= 0,
+                      (top * 255 // max(S_z - 1, 1)), 0).astype(np.uint8)
+
+    return {
+        "width": int(img.shape[1]), "height": int(img.shape[0]),
+        "cells": img.astype(np.uint8).tobytes(),
+        "height_cells": height.tobytes(),
+        "origin": [float(origin[0] + imin * res),
+                   float(origin[1] + jmin * res)],
+        "resolution": res,
+        "min_z": float(origin[2]),
+        "max_z": float(origin[2] + S_z * res),
+    }
+
+
+def submap_3d_to_textures(submap) -> List[Dict]:
+    """The reference's two-texture 3D SubmapQuery response: high-resolution
+    then low-resolution x-ray (submap_3d.cc:310-321)."""
+    out = []
+    for grid in (submap.high_grid, submap.low_grid):
+        if grid is not None:
+            out.append(grid_3d_to_xray_texture(grid))
+    return out
+
+
 def paint_map(pose_graph: PoseGraph2D, resolution: float = 0.05,
               path: Optional[str] = None) -> np.ndarray:
     """Compose all finished submaps at their optimized poses into one map
