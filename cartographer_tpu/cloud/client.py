@@ -125,8 +125,22 @@ class PoseGraphStub:
 class MapBuilderStub:
     """MapBuilderInterface over gRPC (cloud/client/map_builder_stub.cc)."""
 
-    def __init__(self, server_address: str, client_id: str = "client"):
-        self._channel = grpc.insecure_channel(server_address)
+    def __init__(self, server_address: str, client_id: str = "client",
+                 ssl_root_certs_path: str = None):
+        """`ssl_root_certs_path` switches the channel to TLS, verifying the
+        server against the given PEM roots (empty string = system roots) —
+        the client side of the reference's SSL channel credentials
+        (local_trajectory_uploader.cc:112-118)."""
+        if ssl_root_certs_path is not None:
+            roots = None
+            if ssl_root_certs_path:
+                with open(ssl_root_certs_path, "rb") as f:
+                    roots = f.read()
+            self._channel = grpc.secure_channel(
+                server_address,
+                grpc.ssl_channel_credentials(root_certificates=roots))
+        else:
+            self._channel = grpc.insecure_channel(server_address)
         self._client_id = client_id
         self.pose_graph = PoseGraphStub(self._channel)
         self._streams: Dict[int, _SensorStream] = {}

@@ -29,9 +29,13 @@ _CONNECT_TIMEOUT_SECONDS = 10.0  # local_trajectory_uploader.cc:38
 
 
 class LocalTrajectoryUploader:
-    def __init__(self, uplink_address: str, batch_size: int = 100):
+    def __init__(self, uplink_address: str, batch_size: int = 100,
+                 ssl_root_certs_path: str = None):
+        """`ssl_root_certs_path` switches the uplink channel to TLS (empty
+        string = system roots) — local_trajectory_uploader.cc:112-118."""
         self._address = uplink_address
         self._batch_size = batch_size
+        self._ssl_root_certs_path = ssl_root_certs_path
         self._queue: queue.Queue = queue.Queue(maxsize=10000)
         self._shutdown = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -91,7 +95,16 @@ class LocalTrajectoryUploader:
         import cartographer_tpu.cloud.uploader as _mod
 
         try:
-            self._channel = grpc.insecure_channel(self._address)
+            if self._ssl_root_certs_path is not None:
+                roots = None
+                if self._ssl_root_certs_path:
+                    with open(self._ssl_root_certs_path, "rb") as f:
+                        roots = f.read()
+                self._channel = grpc.secure_channel(
+                    self._address,
+                    grpc.ssl_channel_credentials(root_certificates=roots))
+            else:
+                self._channel = grpc.insecure_channel(self._address)
             grpc.channel_ready_future(self._channel).result(
                 timeout=_mod._CONNECT_TIMEOUT_SECONDS)
             return True

@@ -416,8 +416,16 @@ class MapBuilderServerOptions:
     server_address: str = "0.0.0.0:50051"
     uplink_server_address: str = ""
     upload_batch_size: int = 100
+    # SSL on the cloud edge (map_builder_server.cc server credentials +
+    # local_trajectory_uploader.cc:112-118 uplink channel credentials).
+    # With enable_ssl_encryption: the server serves TLS from the key/cert
+    # PEM files below, and the uplink client channel verifies against
+    # ssl_root_certs_path (empty = system roots).
     enable_ssl_encryption: bool = False
     enable_google_auth: bool = False
+    ssl_private_key_path: str = ""
+    ssl_certificate_path: str = ""
+    ssl_root_certs_path: str = ""
     # Prometheus pull endpoint (map_builder_server_main.cc:42-47 exposes
     # metrics at :9100/metrics). 0 = pick a free port; None/-1 = disabled.
     monitoring_port: Optional[int] = 0
