@@ -405,6 +405,12 @@ class MapBuilderOptions:
     # Shard loop-closure candidate batches over a device mesh when more than
     # one accelerator is visible (SURVEY.md P1 as the production path).
     use_device_mesh: bool = True
+    # Serving: coalesce concurrent 2D trajectories' fused per-scan programs
+    # into ONE vmapped device dispatch per tick (mapping/scan_batcher.py) —
+    # R robots per round-trip instead of R round-trips. Off by default: a
+    # single-trajectory caller would pay the (small) batching wait for
+    # nothing; multi-robot serving deployments turn it on.
+    batch_scan_dispatch: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

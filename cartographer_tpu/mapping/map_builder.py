@@ -266,6 +266,7 @@ class MapBuilder:
                     fresh_submaps_count=ot.fresh_submaps_count,
                     min_covered_area=ot.min_covered_area,
                     min_added_submaps_count=ot.min_added_submaps_count))
+        self._scan_batcher = None  # shared cross-robot dispatcher (serving)
         self._collator = (TrajectoryCollator() if options.collate_by_trajectory
                           else Collator())
         self._builders: Dict[int, GlobalTrajectoryBuilder] = {}
@@ -303,9 +304,17 @@ class MapBuilder:
         else:
             local = None
             if not local_slam_results:
+                batcher = None
+                if self._options.batch_scan_dispatch:
+                    if self._scan_batcher is None:
+                        from cartographer_tpu.mapping.scan_batcher import (
+                            ScanBatcher,
+                        )
+                        self._scan_batcher = ScanBatcher()
+                    batcher = self._scan_batcher
                 local = LocalTrajectoryBuilder2D(
                     trajectory_options.trajectory_builder_2d,
-                    range_ids or expected_sensor_ids)
+                    range_ids or expected_sensor_ids, batcher=batcher)
             builder = GlobalTrajectoryBuilder(
                 trajectory_id, local, self.pose_graph, local_slam_result_callback,
                 submap_controller=self._submap_controller())
