@@ -351,7 +351,15 @@ class PoseGraph2D:
             f = (t - tlist[i - 1]) / (tlist[i] - tlist[i - 1])
             ta = pose_of(traj[i - 1][1])
             tb = pose_of(traj[i][1])
-            out[k] = ta + f * (tb - ta)
+            # Yaw interpolates along the SHORTEST arc: crossing the +-pi
+            # seam with plain linear interpolation produces a ~pi-wrong
+            # pose whose (high-weight) odometry residual drags the solve
+            # meters off (found by the official-pbstream replay eval: a
+            # full-circle trajectory crosses the seam twice per loop).
+            dth = (tb[2] - ta[2] + np.pi) % (2.0 * np.pi) - np.pi
+            out[k] = np.array([ta[0] + f * (tb[0] - ta[0]),
+                               ta[1] + f * (tb[1] - ta[1]),
+                               ta[2] + f * dth])
         return out
 
     def _odometry_relative(self, trajectory_id: int, t1, t2):
