@@ -373,6 +373,12 @@ def _dense_candidates_3d(stack: PrecomputationStack3D, base_cells, mask,
                  constant_values=UNKNOWN_PROBABILITY)
 
     # z-offset as conv batch, z as reduction channels: In[kz, z, x, y].
+    # NOTE: the 2D matcher's scanned-matmul rewrite of this correlation
+    # (ops/bnb_2d.py) was ALSO tried here and measured 3x SLOWER (15.7 ->
+    # 46.3 ms on v5e): the per-row (ky, kz) window materialization costs
+    # more than this conv's moderate-kernel lowering — the 2D win comes
+    # from its pathological ext^2-element kernels, which the z-channel
+    # folding here already avoids.
     In = jnp.stack([dp[:, :, kz:kz + ext_z].transpose(2, 0, 1)
                     for kz in range(num_off_z)])
     K = C.transpose(0, 3, 1, 2)  # (A, Z, X, Y)
