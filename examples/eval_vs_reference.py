@@ -59,6 +59,31 @@ def main():
                              "clouds are the ~100-point loop-closure-filtered "
                              "scans, which score lower against the equally "
                              "sparse replay grids than raw scans do")
+    parser.add_argument("--dump", default="",
+                        help="write per-node aligned errors + relation "
+                             "details to this JSON file (tail diagnosis)")
+    parser.add_argument("--no-stored-odometry", action="store_true",
+                        help="frontend mode: replay scans only. By default "
+                             "the stream's stored per-node local poses are "
+                             "fed as odometry — without a motion prior the "
+                             "first handful of scans match against a "
+                             "near-empty bootstrap grid and bake a ~0.3 m "
+                             "transient into the trajectory start (the r4 "
+                             "'35 cm tail': nodes 0-5 of 320)")
+    parser.add_argument("--replay-mode", default="local-results",
+                        choices=["local-results", "frontend"],
+                        help="local-results (default): feed the stream's "
+                             "(cloud, local pose, submap grid) records "
+                             "through the uplink LocalSlamResultData path — "
+                             "the reference's own tier-2 replay semantics — "
+                             "so the eval scores the BACKEND (loop closure "
+                             "+ SPA de-drifting the stored chain). "
+                             "frontend: re-scan-match the stored clouds "
+                             "from scratch; NOTE a cloud-only replay "
+                             "under-constrains yaw scan-to-scan (stored "
+                             "node clouds are sparse re-sampled wall hits) "
+                             "— position metrics remain valid, yaw is not "
+                             "identifiable in this mode")
     args = parser.parse_args()
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -110,7 +135,7 @@ def main():
         "adaptive_voxel_filter.max_length": 0.5,
         "motion_filter.max_distance_meters": 0.05,
         "motion_filter.max_angle_radians": math.radians(0.7),
-        "tpu.scan_capacity": 512,
+        "tpu.scan_capacity": 2048,
         "tpu.submap_grid_size": 512,
         "real_time_correlative_scan_matcher.linear_search_window": 0.2,
     })
@@ -125,18 +150,101 @@ def main():
         "pose_graph.constraint_builder.max_constraint_distance": 15.0,
     })
     mb = MapBuilder(mb_opts)
-    tid = mb.add_trajectory_builder(["laser"], traj)
-    for (t_id, ni), node in nodes:
-        pts = np.asarray(node.filtered_points, np.float32)
-        if pts.size == 0:
-            continue
-        if pts.shape[1] == 2:
-            pts = np.concatenate(
-                [pts, np.zeros((len(pts), 1), np.float32)], axis=1)
-        mb.add_sensor_data(tid, "laser", TimedPointCloudData(
-            time=int(node.time), origin=np.zeros(3, np.float32),
-            ranges=pts, times=np.zeros(len(pts), np.float32)))
-    mb.finish_trajectory(tid)
+    if args.replay_mode == "local-results":
+        # The reference's tier-2 semantics (cloud/internal/handlers/
+        # add_local_slam_result_data + SubmapController): each stream node
+        # becomes a LocalSlamResultData carrying its cloud + stored local
+        # pose, with the stream's submap grids attached when a submap
+        # finishes. The pose graph then runs the REAL global SLAM work —
+        # loop closure against the stored grids and the Schur SPA —
+        # de-drifting the stored chain.
+        from cartographer_tpu.io.serialization import grid2d_record
+        from cartographer_tpu.mapping.id import NodeId, SubmapId
+        from cartographer_tpu.mapping.local_slam_result_data import (
+            LocalSlamResultData,
+            SubmapRecord,
+        )
+
+        # Node -> its intra submap(s), from the stream's own constraints.
+        intra = {}
+        for c in ref_pg.constraints:
+            if c.tag == "INTRA_SUBMAP":
+                intra.setdefault(c.node_id, []).append(c.submap_id)
+        # Last node of each submap = the record that carries its grid.
+        submap_last = {}
+        for key, _ in nodes:
+            for sid in intra.get(NodeId(*key), []):
+                submap_last[sid] = key
+
+        tid = mb.add_trajectory_builder(
+            ["local_slam_result_0"], traj, local_slam_results=True)
+        counts = {}
+        for key, node in nodes:
+            sids = intra.get(NodeId(*key), [])
+            if not sids:
+                continue
+            records = []
+            for sid in sorted(sids, key=lambda s: s.submap_index):
+                counts[sid] = counts.get(sid, 0) + 1
+                entry = ref_pg.submap_data.get(
+                    SubmapId(0, sid.submap_index))
+                finished = (submap_last[sid] == key
+                            and entry is not None
+                            and entry.submap.grid is not None)
+                rec = SubmapRecord(
+                    trajectory_id=0, submap_index=sid.submap_index,
+                    local_pose_translation=np.asarray(
+                        entry.submap.local_pose_translation, np.float64),
+                    local_pose_rotation=np.asarray(
+                        entry.submap.local_pose_rotation, np.float64),
+                    num_range_data=counts[sid],
+                    insertion_finished=finished,
+                    grid=grid2d_record(entry.submap.grid) if finished
+                    else None)
+                records.append(rec)
+            pts = np.asarray(node.filtered_points, np.float64)
+            mb.add_sensor_data(tid, "local_slam_result_0", LocalSlamResultData(
+                time=int(node.time),
+                node={
+                    "time": int(node.time),
+                    "gravity_alignment": np.asarray(
+                        node.gravity_alignment, np.float64),
+                    "filtered_points": pts,
+                    "local_pose_translation": np.asarray(
+                        node.local_pose_translation, np.float64),
+                    "local_pose_rotation": np.asarray(
+                        node.local_pose_rotation, np.float64),
+                },
+                submaps=records, is_3d=False))
+        mb.finish_trajectory(tid)
+    else:
+        use_odom = not args.no_stored_odometry
+        sensors = ["laser"] + (["odom"] if use_odom else [])
+        tid = mb.add_trajectory_builder(sensors, traj)
+        from cartographer_tpu.sensor.data import OdometryData
+        for (t_id, ni), node in nodes:
+            pts = np.asarray(node.filtered_points, np.float32)
+            if pts.size == 0:
+                continue
+            if pts.shape[1] == 2:
+                pts = np.concatenate(
+                    [pts, np.zeros((len(pts), 1), np.float32)], axis=1)
+            if use_odom:
+                # The stream's stored per-node local pose IS the reference
+                # frontend's own odometry-grade chain (trajectory_node.h
+                # local_pose); feeding it as odometry gives the replay the
+                # motion prior a live system has, so the bootstrap scans
+                # don't wander on a near-empty grid.
+                mb.add_sensor_data(tid, "odom", OdometryData(
+                    time=int(node.time) - 1,
+                    pose_translation=np.asarray(
+                        node.local_pose_translation, np.float64),
+                    pose_rotation=np.asarray(
+                        node.local_pose_rotation, np.float64)))
+            mb.add_sensor_data(tid, "laser", TimedPointCloudData(
+                time=int(node.time), origin=np.zeros(3, np.float32),
+                ranges=pts, times=np.zeros(len(pts), np.float32)))
+        mb.finish_trajectory(tid)
     mb.pose_graph.run_final_optimization()
     pg = mb.pose_graph
 
@@ -186,6 +294,29 @@ def main():
         d_ref = rb.global_pose_2d[:2] - ra.global_pose_2d[:2]
         rel_errs.append(np.linalg.norm(d_ours - d_ref))
     rel_errs = np.asarray(rel_errs) if rel_errs else np.zeros(0)
+
+    if args.dump:
+        order = sorted(aligned_by_time)
+        per_node = [{"time": int(tm),
+                     "err": float(np.linalg.norm(
+                         aligned_by_time[tm] - ref_by_time[tm].global_pose_2d[:2])),
+                     "ours": [float(x) for x in aligned_by_time[tm]],
+                     "ref": [float(x) for x in ref_by_time[tm].global_pose_2d[:2]]}
+                    for tm in order]
+        rel_detail = []
+        for r in relations:
+            a = aligned_by_time.get(r.time1)
+            b = aligned_by_time.get(r.time2)
+            ra = ref_by_time.get(r.time1)
+            rb = ref_by_time.get(r.time2)
+            if a is None or b is None or ra is None or rb is None:
+                continue
+            rel_detail.append({
+                "time1": int(r.time1), "time2": int(r.time2),
+                "err": float(np.linalg.norm(
+                    (b - a) - (rb.global_pose_2d[:2] - ra.global_pose_2d[:2])))})
+        with open(args.dump, "w") as f:
+            json.dump({"per_node": per_node, "relations": rel_detail}, f)
 
     print(json.dumps({
         "pbstream": os.path.basename(args.pbstream),

@@ -91,7 +91,7 @@ def _make_world(rng) -> np.ndarray:
     return np.concatenate(walls + [pillar]).astype(np.float64)
 
 
-def _scan(world, pose, rng, bins=360, max_range=16.0):
+def _scan(world, pose, rng, bins=1080, max_range=16.0):
     """ANALYTIC raycast in the gravity-aligned tracking frame at `pose` =
     [x, y, yaw]: first intersection per beam with the wall segments /
     pillar circle (exact LiDAR geometry, continuous surfaces), with small
@@ -124,7 +124,13 @@ def _scan(world, pose, rng, bins=360, max_range=16.0):
     ranges = np.where(hit, np.minimum(ranges, t1), ranges)
 
     keep = np.isfinite(ranges) & (ranges <= max_range)
-    r = ranges[keep] * (1.0 + 0.002 * rng.randn(int(keep.sum())))
+    # Reference-realistic LiDAR: 1080 beams/rev, ~1 cm range noise (Hokuyo
+    # UTM-30LX class, the Deutsches Museum sensor). The earlier 360-beam /
+    # 0.2%-multiplicative content under-constrained joint (t, yaw) scan
+    # matching at 5 cm cells: a rotation-only optimum scored as well as the
+    # true pose, freezing the replayed chain's yaw (r5 root-cause of the
+    # r4 '35 cm tail' + the odometry-residual blowup it masked).
+    r = ranges[keep] + 0.01 * rng.randn(int(keep.sum()))
     beam = angles[keep] - pose[2]  # tracking frame
     return np.stack([r * np.cos(beam), r * np.sin(beam)], -1)
 
