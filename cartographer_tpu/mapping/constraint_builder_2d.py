@@ -301,7 +301,12 @@ class ConstraintBuilder2D:
     def _raw_results(self, requests: List[MatchRequest]) -> np.ndarray:
         """(len(requests), 4) float32 [score, x, y, theta] — refined match
         results with NO thresholding (deterministic pure function of the
-        request, so multihost processes can split the work)."""
+        request, so multihost processes can split the work).
+
+        ALL chunks dispatch first (their programs pipeline on the device
+        queue) and their results concatenate ON DEVICE into one table
+        fetched with a single blocking transfer — over a tunneled chip a
+        many-chunk batch costs one round-trip, not one per chunk."""
         out = np.zeros((len(requests), 4), np.float32)
         groups: Dict[int, List[int]] = {}
         for i, r in enumerate(requests):
@@ -309,12 +314,22 @@ class ConstraintBuilder2D:
                 out[i] = self._raw_global_exact(r)
             else:
                 groups.setdefault(r.grid.size, []).append(i)
+        pending = []  # (request indices, scores_dev (B,), poses_dev (B, 3))
         for idxs in groups.values():
             for s in range(0, len(idxs), _MAX_CHUNK):
                 chunk = idxs[s:s + _MAX_CHUNK]
                 scores, poses = self._raw_chunk([requests[i] for i in chunk])
-                out[chunk, 0] = scores
-                out[chunk, 1:] = poses
+                pending.append((chunk, scores, poses))
+        if pending:
+            flat = np.asarray(jnp.concatenate(
+                [jnp.concatenate([s[:, None], p], axis=1)
+                 for _, s, p in pending]))  # the single blocking fetch
+            ofs = 0
+            for chunk, s, _ in pending:
+                rows = flat[ofs:ofs + s.shape[0]]
+                out[chunk, 0] = rows[: len(chunk), 0]
+                out[chunk, 1:] = rows[: len(chunk), 1:]
+                ofs += s.shape[0]
         return out
 
     def _constraints_from_raw(self, requests: List[MatchRequest],
@@ -401,9 +416,10 @@ class ConstraintBuilder2D:
                 m1[:n] = True
                 outs.append(fn(pyramids[i], grids[i], pts1, m1,
                                np.asarray(r.init, np.float32)))
-            scores = np.asarray(jnp.stack([o[0] for o in outs]))
-            poses = np.asarray(jnp.stack([o[1] for o in outs]))
-            return scores, poses
+            # Device arrays — the caller concatenates all chunks and pays
+            # ONE blocking fetch for the whole batch.
+            return (jnp.stack([o[0] for o in outs]),
+                    jnp.stack([o[1] for o in outs]))
         m = self._mesh.devices.size
         bcap = ((bcap + m - 1) // m) * m
 
@@ -426,6 +442,7 @@ class ConstraintBuilder2D:
             self._bnb_params, self._gn_params, None, self._mesh)
         scores, poses = fn(pyramids, grid_stack, jnp.asarray(pts),
                            jnp.asarray(mask), jnp.asarray(inits))
-        # One host sync for the whole chunk; padding lanes discarded.
-        return np.asarray(scores)[:B], np.asarray(poses)[:B]
+        # Device arrays (padding lanes discarded at the caller's single
+        # batch-wide fetch).
+        return scores[:B], poses[:B]
 

@@ -328,9 +328,26 @@ class ConstraintBuilder3D:
                 continue
             groups.setdefault(
                 (r.high_grid.size, r.low_grid.size), []).append(r)
+        # ALL chunks dispatch first (programs pipeline on the device queue),
+        # then one concatenated device table is fetched with a single
+        # blocking transfer — one round-trip for the whole batch over a
+        # tunneled chip, not one per chunk.
+        pending = []  # (group, scores, poses, rot_scores, low_scores) dev
         for group in groups.values():
             for i in range(0, len(group), _MAX_CHUNK_3D):
-                results.extend(self._compute_chunk(group[i:i + _MAX_CHUNK_3D]))
+                g = group[i:i + _MAX_CHUNK_3D]
+                pending.append((g, *self._compute_chunk(g)))
+        if pending:
+            flat = np.asarray(jnp.concatenate(
+                [jnp.concatenate([s[:, None], p, r[:, None], lo[:, None]],
+                                 axis=1)
+                 for _, s, p, r, lo in pending]))
+            ofs = 0
+            for g, s, _, _, _ in pending:
+                rows = flat[ofs:ofs + s.shape[0]]
+                results.extend(self._results_from_arrays(
+                    g, rows[:, 0], rows[:, 1:8], rows[:, 8], rows[:, 9]))
+                ofs += s.shape[0]
         return results
 
     def _compute_global(self, r: MatchRequest3D) -> Optional[MatchResult3D]:
@@ -381,8 +398,10 @@ class ConstraintBuilder3D:
             score=score, rotational_score=rot_score,
             low_resolution_score=low_score)
 
-    def _compute_chunk(self, group: List[MatchRequest3D]
-                       ) -> List[MatchResult3D]:
+    def _compute_chunk(self, group: List[MatchRequest3D]):
+        """Dispatch one chunk; returns DEVICE arrays
+        (scores (B,), poses (B, 7), rot_scores (B,), low_scores (B,)) —
+        the caller batches the fetch."""
         B = len(group)
         bcap = 1 << math.ceil(math.log2(max(B, 1)))
         use_mesh = (self._mesh is not None
@@ -431,16 +450,12 @@ class ConstraintBuilder3D:
         scores, poses, rot_scores, low_scores = fn(
             stacks, highs, lows, high_pts, high_mask, low_pts, low_mask,
             shist, subhist, jnp.asarray(inits))
-        # One host sync for the whole chunk.
-        return self._results_from_arrays(
-            group, np.asarray(scores), np.asarray(poses),
-            np.asarray(rot_scores), np.asarray(low_scores))
+        return scores[:B], poses[:B], rot_scores[:B], low_scores[:B]
 
-    def _compute_chunk_pipelined(self, group: List[MatchRequest3D]
-                                 ) -> List[MatchResult3D]:
+    def _compute_chunk_pipelined(self, group: List[MatchRequest3D]):
         """Single device: one program per pair, dispatched back-to-back
-        (device queue pipelines), results stacked ON DEVICE — one blocking
-        fetch per chunk, no vmapped working-set spill."""
+        (device queue pipelines), results stacked ON DEVICE — the caller
+        batches the fetch across chunks."""
         fn = _single_match_fn_3d(self._bnb_params, self._gn_params,
                                  float(self._options.min_score))
 
@@ -463,10 +478,7 @@ class ConstraintBuilder3D:
                 r.stack, r.high_grid, r.low_grid, hp, hm, lp, lm,
                 np.asarray(r.scan_histogram, np.float32),
                 np.asarray(r.submap_histogram, np.float32), init))
-        stacked = [jnp.stack([o[k] for o in outs]) for k in range(4)]
-        return self._results_from_arrays(
-            group, np.asarray(stacked[0]), np.asarray(stacked[1]),
-            np.asarray(stacked[2]), np.asarray(stacked[3]))
+        return tuple(jnp.stack([o[k] for o in outs]) for k in range(4))
 
     def _results_from_arrays(self, group, scores, poses, rot_scores,
                              low_scores) -> List[MatchResult3D]:
