@@ -507,7 +507,13 @@ def bench_e2e_serving(num_robots: int = 16, scans_per_robot: int = 25):
     # 16 serialized dispatch+fetch round-trips.
     from cartographer_tpu.mapping.scan_batcher import ScanBatcher
 
-    batcher = ScanBatcher(max_batch=num_robots, max_wait_s=0.004,
+    # Half-fleet batches with a round-trip-scale window measured fastest
+    # (sweep: 16@30ms 198/s, 8@30ms 229/s, 8@15ms 145/s): group A's
+    # dispatch+fetch round-trip overlaps group B's GIL-serialized host
+    # work, and the window is long enough that batches run FULL (short
+    # windows fire 4-6-scan batches forever — the released-robot set
+    # perpetuates itself).
+    batcher = ScanBatcher(max_batch=num_robots // 2, max_wait_s=0.03,
                           fixed_bucket=True)
     bbuilders = [LocalTrajectoryBuilder2D(opts, ["laser"], batcher=batcher)
                  for _ in range(num_robots)]
@@ -627,7 +633,10 @@ def bench_whole_system(num_robots: int = 16, scans_per_robot: int = 25):
     tids = [mb.add_trajectory_builder(["laser"], traj)
             for _ in range(num_robots)]
     if mb._scan_batcher is not None:
-        mb._scan_batcher.max_batch = num_robots
+        # Half-fleet batches + round-trip-scale window (see
+        # bench_e2e_serving's sweep).
+        mb._scan_batcher.max_batch = num_robots // 2
+        mb._scan_batcher.max_wait_s = 0.03
         mb._scan_batcher.fixed_bucket = True
 
     rng = np.random.RandomState(0)
@@ -744,15 +753,17 @@ def bench_e2e_3d(num_robots: int = 4, scans_per_robot: int = 12):
     warm = LocalTrajectoryBuilder3D(opts, ["points"])
     drive(warm, warm_results)  # compile all shape buckets
     assert warm_results
-    # Clean single-stream host/device split (same accounting contract as the
-    # 2D serving bench; VERDICT r4 weak #3 — 3D's bottleneck was unmeasured).
-    warm.host_seconds = warm.device_seconds = 0.0
-    warm.device_fetches = 0
-    warm2_results = []
-    drive(warm, warm2_results)
-    n_clean = max(warm.device_fetches, 1)
-    host_clean_s = max(warm.host_seconds - warm.device_seconds, 0.0) / n_clean
-    device_clean_s = warm.device_seconds / n_clean
+    # Clean single-stream host/device split on a FRESH builder (compiled
+    # programs shared) — the warm builder cannot be re-driven from t0
+    # (time goes backwards for its extrapolator). VERDICT r4 weak #3: 3D's
+    # bottleneck was unmeasured.
+    clean = LocalTrajectoryBuilder3D(opts, ["points"])
+    clean_results = []
+    drive(clean, clean_results)
+    assert clean_results
+    n_clean = max(clean.device_fetches, 1)
+    host_clean_s = max(clean.host_seconds - clean.device_seconds, 0.0) / n_clean
+    device_clean_s = clean.device_seconds / n_clean
 
     builders = [LocalTrajectoryBuilder3D(opts, ["points"])
                 for _ in range(num_robots)]

@@ -204,15 +204,21 @@ def _batched_step_cached(pre_params: ScanPreprocessParams2D, avf, corr_params,
                             lc, lc_capacity, insert_key, mf_key)
     vstep = jax.vmap(step)
 
-    def batched(grid_list, active, points, t01, mask, origins,
-                ps_t, ps_q, pe_t, pe_q, gravity_q, pred_vec, has_grid,
-                mf_last_t, mf_last_q, mf_dt_s, mf_first, seeds):
+    def batched(grid_list, active, points, t01, mask, origins, small, seeds):
+        # `small` packs the 11 per-robot scalar/vector inputs into ONE
+        # (batch, 31) f32 array — one host->device transfer instead of 11
+        # (each transfer pays real latency over a tunneled chip):
+        # [ps_t 3 | ps_q 4 | pe_t 3 | pe_q 4 | gravity 4 | pred 3 |
+        #  mf_t 3 | mf_q 4 | mf_dt 1 | has_grid 1 | mf_first 1].
         grids = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *grid_list)
         gout, packed, rd = vstep(
             grids, active, points, t01, mask, origins,
-            Rigid3(ps_t, ps_q), Rigid3(pe_t, pe_q), gravity_q, pred_vec,
-            has_grid, mf_last_t, mf_last_q, mf_dt_s, mf_first, seeds)
+            Rigid3(small[:, 0:3], small[:, 3:7]),
+            Rigid3(small[:, 7:10], small[:, 10:14]),
+            small[:, 14:18], small[:, 18:21],
+            small[:, 29] > 0.5, small[:, 21:24], small[:, 24:28],
+            small[:, 28], small[:, 30] > 0.5, seeds)
         grid_outs = tuple(
             jax.tree_util.tree_map(lambda x: x[i], gout)
             for i in range(batch))

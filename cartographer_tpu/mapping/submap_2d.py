@@ -148,7 +148,9 @@ class ActiveSubmaps2D:
         if not self.submaps or (
                 self.submaps[-1].num_range_data == self._options.num_range_data):
             self._add_submap(origin_xy)
-        return jnp.asarray([True, len(self.submaps) > 1], dtype=bool)
+        # Host numpy: jit transfers it with the step's other args — an
+        # eager per-scan device_put here costs a dispatch on the hot path.
+        return np.asarray([True, len(self.submaps) > 1], dtype=bool)
 
     def commit(self, inserted: bool) -> List[Submap2D]:
         """Counter bookkeeping AFTER a (possibly skipped) fused insertion;
