@@ -98,22 +98,25 @@ class PagedGrid3D:
 def _allocate_blocks(slots: Dict[Tuple[int, int, int], int],
                      page_table: np.ndarray, block_keys: np.ndarray,
                      max_pages: int):
-    """Assign pool slots to new blocks in `slots` (mutated); returns the
-    updated HOST page table (or None if unchanged). Raises when the pool is
-    exhausted. Shared by the occupancy and intensity page pools. The input
-    table must be a host mirror — fetching the device copy would add a
-    blocking round-trip to every insert."""
+    """Assign pool slots to new blocks in `slots` (mutated) and update the
+    HOST page-table mirror IN PLACE; returns the (n, 3) int64 indices and
+    (n,) int32 slot values of the new entries (or None if unchanged).
+    Raises when the pool is exhausted. Shared by the occupancy and
+    intensity page pools. The caller applies the same entries to the
+    DEVICE table as a sparse .at[].set — copying + re-uploading the whole
+    table per insert measured ~1 ms host copy plus a 1 MB transfer per
+    scan per pool."""
     new = [tuple(k) for k in block_keys if tuple(k) not in slots]
     if not new:
         return None
     if len(slots) + len(new) > max_pages:
         raise MemoryError(f"page pool exhausted ({max_pages} pages)")
-    table = np.asarray(page_table).copy()
-    for key in new:
-        slot = len(slots)
-        slots[key] = slot
-        table[key] = slot
-    return table
+    idx = np.asarray(new, np.int64)
+    vals = np.arange(len(slots), len(slots) + len(new), dtype=np.int32)
+    for key, s in zip(new, vals):
+        slots[key] = int(s)
+    page_table[idx[:, 0], idx[:, 1], idx[:, 2]] = vals
+    return idx, vals
 
 
 class PagedSubmapGrid3D:
@@ -140,13 +143,16 @@ class PagedSubmapGrid3D:
         return len(self._slots)
 
     def _allocate(self, block_keys: np.ndarray) -> bool:
-        table = _allocate_blocks(self._slots, self._table_host,
-                                 block_keys, self.grid.max_pages)
-        if table is None:
+        upd = _allocate_blocks(self._slots, self._table_host,
+                               block_keys, self.grid.max_pages)
+        if upd is None:
             return False
-        self._table_host = table
-        self.grid = dataclasses.replace(self.grid,
-                                        page_table=jnp.asarray(table))
+        idx, vals = upd
+        self.grid = dataclasses.replace(
+            self.grid,
+            page_table=self.grid.page_table.at[
+                jnp.asarray(idx[:, 0]), jnp.asarray(idx[:, 1]),
+                jnp.asarray(idx[:, 2])].set(jnp.asarray(vals)))
         return True
 
     def insert_range_data(self, origin, returns, mask,
@@ -171,14 +177,19 @@ class PagedSubmapGrid3D:
         # hit along the ray; their blocks are covered by dilating the hit
         # block set by one block when a hit sits near a block edge.
         f = num_free_space_voxels
-        lo = cells - f
-        hi = cells + f
-        keys = set()
-        for c in (lo, hi, cells):
+        blocks = []
+        for c in (cells - f, cells + f, cells):
             inb = np.all((c >= 0) & (c < nb * B), axis=-1)
-            keys.update(map(tuple, np.unique(c[inb] // B, axis=0)))
-        if keys:
-            self._allocate(np.asarray(sorted(keys), np.int64))
+            blocks.append(c[inb] // B)
+        bb = np.concatenate(blocks) if blocks else np.zeros((0, 3), np.int64)
+        if len(bb):
+            # One flattened 1D unique instead of three axis=0 uniques + a
+            # tuple set (the per-scan host hot path).
+            flat = (bb[:, 0] * nb + bb[:, 1]) * nb + bb[:, 2]
+            uniq = np.unique(flat)
+            keys = np.stack([uniq // (nb * nb), (uniq // nb) % nb,
+                             uniq % nb], -1)
+            self._allocate(keys)
         self.grid = _insert_paged(
             self.grid, jnp.asarray(np.asarray(origin, np.float32)),
             jnp.asarray(pts.astype(np.float32)), jnp.asarray(m),
@@ -443,12 +454,15 @@ class PagedIntensitySubmapGrid3D:
         inb = np.all((cells >= 0) & (cells < nb * B), axis=-1)
         keys = np.unique(cells[inb] // B, axis=0)
         if len(keys):
-            table = _allocate_blocks(self._slots, self._table_host,
-                                     keys, self.grid.max_pages)
-            if table is not None:
-                self._table_host = table
+            upd = _allocate_blocks(self._slots, self._table_host,
+                                   keys, self.grid.max_pages)
+            if upd is not None:
+                idx, vals = upd
                 self.grid = dataclasses.replace(
-                    self.grid, page_table=jnp.asarray(table))
+                    self.grid,
+                    page_table=self.grid.page_table.at[
+                        jnp.asarray(idx[:, 0]), jnp.asarray(idx[:, 1]),
+                        jnp.asarray(idx[:, 2])].set(jnp.asarray(vals)))
         self.grid = _insert_intensity_paged(
             self.grid, jnp.asarray(pts.astype(np.float32)),
             jnp.asarray(np.asarray(intensities, np.float32)), jnp.asarray(m))
