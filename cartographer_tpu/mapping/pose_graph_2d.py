@@ -115,6 +115,8 @@ class PoseGraph2D:
             multihost=self._multihost)
         self._executor = None
         self._pending_futures: List = []
+        self._pending_pairs: List = []
+        self._drain_active = False
         import threading
         self._result_lock = threading.Lock()
         self._futures_lock = threading.Lock()
@@ -373,22 +375,42 @@ class PoseGraph2D:
     # ------------------------------------------------------------ loop closure
 
     def _schedule_constraints(self, pairs) -> None:
-        """Dispatch all of a node's candidate (node, submap) pairs as ONE
-        batched search task (vmapped/mesh-sharded device program inside),
-        inline or on the background pool (the device work releases the GIL).
-        This is the production form of the reference's per-pair thread-pool
-        fan-out (constraint_builder_2d.cc:102-186)."""
+        """Dispatch candidate (node, submap) pairs as batched search work
+        (vmapped/mesh-sharded device programs inside), inline or on the
+        background pool. Pending pairs COALESCE ACROSS NODES: a single
+        drain worker slurps everything queued into large
+        compute_constraints calls — when the device falls behind the
+        frontend, the backlog compacts into few big programs (+ one fetch
+        each) instead of one small batch per node. This is the production
+        form of the reference's per-pair thread-pool fan-out
+        (constraint_builder_2d.cc:102-186)."""
         if not pairs:
             return
         if self._executor is None:
             self._compute_constraints_batch(pairs)
-        else:
-            with self._futures_lock:
+            return
+        with self._futures_lock:
+            self._pending_pairs.extend(pairs)
+            if not self._drain_active:
+                self._drain_active = True
                 self._pending_futures.append(
-                    self._executor.submit(
-                        self._compute_constraints_batch, pairs))
-                self._metric_pending.set(
-                    sum(1 for f in self._pending_futures if not f.done()))
+                    self._executor.submit(self._drain_pending_pairs))
+            self._metric_pending.set(len(self._pending_pairs))
+
+    # Pairs per coalesced compute_constraints call: bounds request-build
+    # latency while still amortizing the per-call device fetch.
+    _DRAIN_SLURP = 512
+
+    def _drain_pending_pairs(self) -> None:
+        while True:
+            with self._futures_lock:
+                chunk = self._pending_pairs[: self._DRAIN_SLURP]
+                self._pending_pairs = self._pending_pairs[self._DRAIN_SLURP:]
+                if not chunk:
+                    self._drain_active = False
+                    return
+                self._metric_pending.set(len(self._pending_pairs))
+            self._compute_constraints_batch(chunk)
 
     def _schedule_constraint(self, node_id: NodeId, submap_id: SubmapId) -> None:
         self._schedule_constraints([(node_id, submap_id)])

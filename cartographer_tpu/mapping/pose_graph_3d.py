@@ -132,6 +132,8 @@ class PoseGraph3D:
         self._optimizer_executor = None
         self._optimization_future = None
         self._pending_futures: List = []
+        self._pending_pairs: List = []
+        self._drain_active = False
         if num_background_threads > 0:
             from concurrent.futures import ThreadPoolExecutor
             self._executor = ThreadPoolExecutor(
@@ -342,22 +344,40 @@ class PoseGraph3D:
         return node_id
 
     def _schedule_constraints(self, pairs) -> None:
-        """Dispatch all of a node's candidate (node, submap) pairs as ONE
-        batched search task (vmapped/mesh-sharded device program inside),
-        inline or on the background pool (the device work releases the GIL).
-        This is the production form of the reference's per-pair thread-pool
+        """Dispatch candidate (node, submap) pairs as batched search work;
+        pending pairs COALESCE ACROSS NODES into large compute_constraints
+        calls exactly like the 2D graph (see
+        pose_graph_2d._schedule_constraints) — the backlog compacts into
+        few big device programs instead of one small batch per node. This
+        is the production form of the reference's per-pair thread-pool
         fan-out (constraint_builder_3d.cc:79-116)."""
         if not pairs:
             return
         if self._executor is None:
             self._compute_constraints_batch(pairs)
-        else:
-            with self._futures_lock:
+            return
+        with self._futures_lock:
+            self._pending_pairs.extend(pairs)
+            if not self._drain_active:
+                self._drain_active = True
                 self._pending_futures.append(
-                    self._executor.submit(
-                        self._compute_constraints_batch, pairs))
-                self._metric_pending.set(
-                    sum(1 for f in self._pending_futures if not f.done()))
+                    self._executor.submit(self._drain_pending_pairs))
+            self._metric_pending.set(len(self._pending_pairs))
+
+    # Pairs per coalesced call (3D pairs are heavier than 2D: dual-res
+    # grids + pyramids ride along per request).
+    _DRAIN_SLURP = 128
+
+    def _drain_pending_pairs(self) -> None:
+        while True:
+            with self._futures_lock:
+                chunk = self._pending_pairs[: self._DRAIN_SLURP]
+                self._pending_pairs = self._pending_pairs[self._DRAIN_SLURP:]
+                if not chunk:
+                    self._drain_active = False
+                    return
+                self._metric_pending.set(len(self._pending_pairs))
+            self._compute_constraints_batch(chunk)
 
     def _schedule_constraint(self, node_id: NodeId, submap_id: SubmapId) -> None:
         self._schedule_constraints([(node_id, submap_id)])
