@@ -155,6 +155,9 @@ class ConstraintBuilder2D:
             num_iterations=gn.max_num_iterations,
             use_nonmonotonic_steps=gn.use_nonmonotonic_steps)
         self._samplers: Dict[SubmapId, FixedRatioSampler] = {}
+        # Start beam for full-submap (global) searches, tuned by the last
+        # batch's certifying beam (see _raw_globals).
+        self._global_beam_hint = self._bnb_params.beam_width
         self._pyramids: Dict[SubmapId, jnp.ndarray] = {}
         self._grids: Dict[SubmapId, Grid2D] = {}
         self.score_histogram = Histogram()
@@ -309,11 +312,15 @@ class ConstraintBuilder2D:
         many-chunk batch costs one round-trip, not one per chunk."""
         out = np.zeros((len(requests), 4), np.float32)
         groups: Dict[int, List[int]] = {}
+        global_idxs: List[int] = []
         for i, r in enumerate(requests):
             if r.match_full:
-                out[i] = self._raw_global_exact(r)
+                global_idxs.append(i)
             else:
                 groups.setdefault(r.grid.size, []).append(i)
+        if global_idxs:
+            out[global_idxs] = self._raw_globals(
+                [requests[i] for i in global_idxs])
         pending = []  # (request indices, scores_dev (B,), poses_dev (B, 3))
         for idxs in groups.values():
             for s in range(0, len(idxs), _MAX_CHUNK):
@@ -358,33 +365,98 @@ class ConstraintBuilder2D:
                 tag="INTER_SUBMAP", score=score))
         return constraints
 
-    def _raw_global_exact(self, r: MatchRequest) -> np.ndarray:
-        """Full-submap search via the EXACT (certified iterative widening)
+    def _raw_globals(self, reqs: List[MatchRequest]) -> np.ndarray:
+        """Full-submap searches via the EXACT (certified iterative widening)
         matcher — a missed global constraint is unrecoverable, so the
-        reference's exact-DFS semantics are preserved here
-        (fast_correlative_scan_matcher_2d.cc:210). Returns [score, pose]."""
-        from cartographer_tpu.ops.bnb_2d import match_full_submap_exact
+        reference's exact-DFS semantics are preserved
+        (fast_correlative_scan_matcher_2d.cc:210).
 
-        pyramid, grid = self._matcher_for(r.submap_id, r.grid)
-        pts_cap = 1 << math.ceil(math.log2(max(len(r.points), 16)))
-        pts = np.zeros((pts_cap, 2), np.float32)
-        pts[: len(r.points)] = r.points[:pts_cap]
-        mask = np.zeros(pts_cap, bool)
-        mask[: len(r.points)] = True
+        WAVE-PARALLEL widening across the batch: each beam round dispatches
+        the certified-match program for EVERY still-uncertified request
+        back-to-back (they pipeline on the device queue), the
+        scores/certificates come back in ONE stacked fetch per round, and
+        only the uncertified survivors continue at the doubled beam — the
+        per-request beam sequence (and therefore the result) is IDENTICAL
+        to ops.bnb_2d.match_full_submap_exact's sequential loop, but a
+        batch of R requests pays O(rounds) blocking round-trips instead of
+        O(R * rounds). The surviving matches' GN refines pipeline the same
+        way. Returns (len(reqs), 4) rows of [score, x, y, theta] (nan pose
+        below threshold)."""
+        import dataclasses as _dc
+
+        from cartographer_tpu.ops.bnb_2d import _certified_match_fn
+
         min_score = self._options.global_localization_min_score
-        found, score, pose, _cert = match_full_submap_exact(
-            pyramid, grid, jnp.asarray(pts), jnp.asarray(mask),
-            self._bnb_params, min_score)
-        score = float(score)
-        if score < min_score:
-            # Below threshold: skip the refine dispatch; the raw pose is
-            # discarded by _constraints_from_raw anyway.
-            return np.array([score, np.nan, np.nan, np.nan], np.float32)
-        refined, _ = _refined_match_fn(self._gn_params)(
-            grid, jnp.asarray(pts), jnp.asarray(mask), pose.to_vector())
-        return np.concatenate([[score],
-                               np.asarray(refined, np.float32)]).astype(
-                                   np.float32)
+        max_beam = 65536
+        prepped = []  # (pyramid, grid, pts_dev, mask_dev, init_dev, window)
+        for r in reqs:
+            pyramid, grid = self._matcher_for(r.submap_id, r.grid)
+            pts_cap = 1 << math.ceil(math.log2(max(len(r.points), 16)))
+            pts = np.zeros((pts_cap, 2), np.float32)
+            pts[: len(r.points)] = r.points[:pts_cap]
+            mask = np.zeros(pts_cap, bool)
+            mask[: len(r.points)] = True
+            window = 0.5 * grid.size * grid.resolution * 0.7
+            center = (np.asarray(grid.origin)
+                      + 0.5 * grid.size * grid.resolution)
+            init = jnp.asarray([center[0], center[1], 0.0], jnp.float32)
+            prepped.append((pyramid, grid, jnp.asarray(pts),
+                            jnp.asarray(mask), init, window))
+        n = len(reqs)
+        scores = np.zeros(n, np.float32)
+        poses = [None] * n  # device Rigid2 of the accepted round
+        alive = list(range(n))
+        # Adaptive start beam: full-submap windows essentially never certify
+        # at the local-search beam width, so starting there wastes whole
+        # rounds (device work AND a blocking round-trip each). Start where
+        # the last batch certified; if the first round certifies everything,
+        # decay the hint so the start can shrink back. The certificate makes
+        # any start beam exact-equivalent — this only changes cost.
+        beam = start_beam = min(max(self._bnb_params.beam_width,
+                                    self._global_beam_hint), max_beam)
+        max_certified = 0
+        while alive:
+            params = _dc.replace(self._bnb_params, beam_width=beam)
+            wave = []
+            for i in alive:
+                pyramid, grid, pts, mask, init, window = prepped[i]
+                fn = _certified_match_fn(params, min_score, window)
+                wave.append(fn(pyramid, grid, pts, mask, init))
+            # The round's ONE blocking fetch: [score, certified] per request.
+            flat = np.asarray(jnp.stack(
+                [jnp.stack([s, c.astype(jnp.float32)])
+                 for _f, s, _p, c in wave]))
+            nxt = []
+            for i, (_f, _s, pose, _c), row in zip(alive, wave, flat):
+                if row[1] >= 0.5 or beam >= max_beam:
+                    scores[i] = row[0]
+                    poses[i] = pose
+                    max_certified = max(max_certified, beam)
+                else:
+                    nxt.append(i)
+            alive = nxt
+            beam *= 2
+        if max_certified > start_beam:
+            self._global_beam_hint = max_certified
+        elif max_certified == start_beam:
+            # Whole batch certified in round one: probe a smaller start next
+            # time (at worst it costs the one round back).
+            self._global_beam_hint = max(start_beam // 2,
+                                         self._bnb_params.beam_width)
+        out = np.full((n, 4), np.nan, np.float32)
+        out[:, 0] = scores
+        pending = []  # (row, refined-pose device vec)
+        refine = _refined_match_fn(self._gn_params)
+        for i in range(n):
+            if scores[i] >= min_score:
+                _pyr, grid, pts, mask, _init, _w = prepped[i]
+                refined, _cost = refine(grid, pts, mask, poses[i].to_vector())
+                pending.append((i, refined))
+        if pending:
+            stacked = np.asarray(jnp.stack([v for _i, v in pending]))
+            for (i, _v), vec in zip(pending, stacked):
+                out[i, 1:] = vec
+        return out
 
     def _raw_chunk(self, group: List[MatchRequest]):
         B = len(group)
@@ -405,17 +477,25 @@ class ConstraintBuilder2D:
         if not use_mesh:
             # Single device: pipelined per-pair dispatch (see
             # _single_match_fn) — results stacked ON DEVICE so the chunk
-            # still costs one blocking fetch.
-            fn = _single_match_fn(self._bnb_params, self._gn_params, None)
-            outs = []
+            # still costs one blocking fetch. Inputs transfer as THREE
+            # stacked arrays for the whole chunk (sliced per-pair on
+            # device): per-pair host->device transfers each pay a tunnel
+            # round-trip, which dominated the dispatch at ~120 ms/pair.
+            B = len(group)
+            pts = np.zeros((B, pts_cap, 2), np.float32)
+            mask = np.zeros((B, pts_cap), bool)
+            inits = np.zeros((B, 3), np.float32)
             for i, r in enumerate(group):
-                pts1 = np.zeros((pts_cap, 2), np.float32)
                 n = min(len(r.points), pts_cap)
-                pts1[:n] = r.points[:n]
-                m1 = np.zeros(pts_cap, bool)
-                m1[:n] = True
-                outs.append(fn(pyramids[i], grids[i], pts1, m1,
-                               np.asarray(r.init, np.float32)))
+                pts[i, :n] = r.points[:n]
+                mask[i, :n] = True
+                inits[i] = r.init
+            pts_d = jnp.asarray(pts)
+            mask_d = jnp.asarray(mask)
+            inits_d = jnp.asarray(inits)
+            fn = _single_match_fn(self._bnb_params, self._gn_params, None)
+            outs = [fn(pyramids[i], grids[i], pts_d[i], mask_d[i], inits_d[i])
+                    for i in range(B)]
             # Device arrays — the caller concatenates all chunks and pays
             # ONE blocking fetch for the whole batch.
             return (jnp.stack([o[0] for o in outs]),
